@@ -1,0 +1,134 @@
+"""Config-system tests: JSONC parsing, ;-path overrides, run-dir scheme,
+reflective init_obj. Covers the surface of the reference's
+utils/parse_config.py + utils/util.py JSONC reading."""
+
+import argparse
+import json
+
+import pytest
+
+from vtc_tpu.config import ConfigParser, CustomArgs
+from vtc_tpu.utils import jsonc
+
+
+def test_jsonc_comments_and_trailing_commas():
+    text = """
+    {
+        // line comment
+        "name": "exp", /* block comment */
+        "list": [1, 2, 3,],
+        "nested": {"a": "http://not//a//comment", "b": 2,},
+    }
+    """
+    obj = jsonc.loads(text)
+    assert obj["name"] == "exp"
+    assert obj["list"] == [1, 2, 3]
+    assert obj["nested"]["a"] == "http://not//a//comment"
+    assert obj["nested"]["b"] == 2
+
+
+def test_jsonc_parses_reference_style_config(tmp_path):
+    cfg = tmp_path / "c.jsonc"
+    cfg.write_text(
+        '{"name": "n", "metrics": [{"type": "RecallAtK", '
+        '"args": {"k_vals": [1, 10]},},], "trainer": {"tensorboard": true,}}'
+    )
+    obj = jsonc.read_json(cfg)
+    assert obj["metrics"][0]["args"]["k_vals"] == [1, 10]
+    assert obj["trainer"]["tensorboard"] is True
+
+
+def _write_min_config(tmp_path, name="testexp"):
+    cfg = {
+        "name": name,
+        "batch_size": 4,
+        "arch": {"type": "Dummy", "args": {"width": 3}},
+        "optimizer": {"type": "adam", "args": {"lr": 0.001}},
+        "trainer": {"save_dir": str(tmp_path / "saved"), "verbosity": 2},
+    }
+    p = tmp_path / "config.jsonc"
+    p.write_text(json.dumps(cfg))
+    return p
+
+
+def test_from_args_and_override(tmp_path):
+    cfg_path = _write_min_config(tmp_path)
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-c", "--config", default=None)
+    parser.add_argument("-r", "--resume", default=None)
+    options = [
+        CustomArgs(["--lr"], type=float, target="optimizer;args;lr"),
+        CustomArgs(["--bs", "--batch_size"], type=int, target="batch_size"),
+    ]
+    import sys
+
+    argv = sys.argv
+    sys.argv = ["prog", "-c", str(cfg_path), "--lr", "0.5", "--bs", "16"]
+    try:
+        config = ConfigParser.from_args(parser, options)
+    finally:
+        sys.argv = argv
+
+    assert config["optimizer"]["args"]["lr"] == 0.5
+    assert config["batch_size"] == 16
+    # run dir created with NNN_MonDD_HH:MM scheme and config.json written back
+    assert config.save_dir.exists()
+    assert (config.save_dir / "config.json").exists()
+    import re
+
+    assert re.match(r"^\d\d\d_\w\w\w\d\d_\d\d:\d\d$", config.save_dir.name)
+    saved = json.loads((config.save_dir / "config.json").read_text())
+    assert saved["optimizer"]["args"]["lr"] == 0.5
+
+
+def test_run_id_sequence_increments(tmp_path):
+    cfg_path = _write_min_config(tmp_path)
+    from vtc_tpu.utils import read_json
+
+    c1 = ConfigParser(read_json(cfg_path))
+    c2 = ConfigParser(read_json(cfg_path))
+    n1 = int(c1.save_dir.name.split("_")[0])
+    n2 = int(c2.save_dir.name.split("_")[0])
+    assert n2 == n1 + 1
+
+
+def test_init_obj_reflection(tmp_path):
+    cfg_path = _write_min_config(tmp_path)
+    from vtc_tpu.utils import read_json
+
+    config = ConfigParser(read_json(cfg_path))
+
+    class Registry:
+        class Dummy:
+            def __init__(self, width, extra=None):
+                self.width = width
+                self.extra = extra
+
+    obj = config.init_obj("arch", Registry, extra="x")
+    assert obj.width == 3 and obj.extra == "x"
+
+    with pytest.raises(AssertionError):
+        config.init_obj("arch", Registry, width=7)  # can't overwrite cfg args
+
+
+def test_resume_reads_run_config(tmp_path):
+    cfg_path = _write_min_config(tmp_path)
+    from vtc_tpu.utils import read_json
+
+    config = ConfigParser(read_json(cfg_path))
+    ckpt = config.save_dir / "checkpoint-epoch1.ckpt"
+    ckpt.write_text("fake")
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-c", "--config", default=None)
+    parser.add_argument("-r", "--resume", default=None)
+    import sys
+
+    argv = sys.argv
+    sys.argv = ["prog", "-r", str(ckpt)]
+    try:
+        config2 = ConfigParser.from_args(parser, [])
+    finally:
+        sys.argv = argv
+    assert config2["name"] == "testexp"
+    assert str(config2.resume) == str(ckpt)

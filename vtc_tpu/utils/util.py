@@ -1,0 +1,77 @@
+"""Small utilities mirroring the reference's ``utils/util.py`` for JAX.
+
+The torch-specific helpers translate as:
+
+* ``move_to(obj, device)`` (``utils/util.py:15-31``) -> :func:`device_put_tree`
+  using ``jax.device_put`` over a pytree (nested dict/list/tuple of arrays).
+* ``extract_tensors`` (``utils/util.py:34-51``) -> :func:`extract_arrays` via
+  ``jax.tree_util.tree_leaves``.
+* ``inf_loop`` (``utils/util.py:72-75``) -> :func:`inf_loop` (identical
+  semantics for any iterable-of-batches factory).
+* ``prepare_device`` (``utils/util.py:78-98``) -> :func:`prepare_devices`
+  returning the JAX device list (TPU chips instead of CUDA ids).
+"""
+
+from __future__ import annotations
+
+from itertools import repeat
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from .jsonc import read_json, write_json  # re-export  # noqa: F401
+
+
+def is_image_like_batch(obj) -> bool:
+    """True if ``obj`` looks like a batch of RGB images ([b, 3, h, w] or
+    [b, h, w, 3]). Mirrors ``utils/util.py:10-12``."""
+    arr = obj if hasattr(obj, "shape") else None
+    if arr is None or len(arr.shape) != 4:
+        return False
+    return arr.shape[1] == 3 or arr.shape[-1] == 3
+
+
+def device_put_tree(obj, device_or_sharding=None):
+    """Transfer a nested structure of arrays to a device / sharding."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, device_or_sharding), obj
+    )
+
+
+def extract_arrays(obj):
+    """List of array leaves from a nested structure."""
+    return [x for x in jax.tree_util.tree_leaves(obj) if hasattr(x, "shape")]
+
+
+def ensure_dir(dirname):
+    dirname = Path(dirname)
+    if not dirname.is_dir():
+        dirname.mkdir(parents=True, exist_ok=False)
+
+
+def inf_loop(data_loader):
+    """Endless data loader wrapper (``utils/util.py:72-75``)."""
+    for loader in repeat(data_loader):
+        yield from loader
+
+
+def prepare_devices(n_devices_use: int):
+    """Select TPU/accelerator devices analogous to ``prepare_device``
+    (``utils/util.py:78-98``). Returns (devices, n_used)."""
+    devices = jax.devices()
+    n_avail = len(devices)
+    if n_devices_use > n_avail:
+        print(
+            f"Warning: {n_devices_use} devices configured but only "
+            f"{n_avail} available on this host."
+        )
+        n_devices_use = n_avail
+    if n_devices_use <= 0:
+        n_devices_use = n_avail
+    return devices[:n_devices_use], n_devices_use
+
+
+def to_numpy_tree(obj):
+    """Bring a pytree of device arrays back to host numpy."""
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), obj)
