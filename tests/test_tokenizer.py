@@ -1,0 +1,114 @@
+"""Tokenizer / RAKE / preprocessing tests."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from vtc_tpu.data import tokenizer as tk
+from vtc_tpu.data.rake import Rake
+
+
+def test_special_token_ids():
+    tok = tk.get_tokenizer()
+    assert tok.sot_token == 49406
+    assert tok.eot_token == 49407
+    assert len(tok.encoder) == tk.VOCAB_SIZE
+
+
+def test_empty_string_invariant():
+    # Empty string must tokenize to [sot, eot, 0, ...]: position 1 == 49407
+    # drives the CAM mask-embedding substitution (model/model.py:207-212).
+    out = tk.tokenize("")
+    assert out.shape == (1, 77)
+    assert out[0, 0] == 49406 and out[0, 1] == 49407
+    assert (out[0, 2:] == 0).all()
+
+
+def test_roundtrip_decode():
+    tok = tk.get_tokenizer()
+    ids = tok.encode("hello world")
+    assert len(ids) > 0
+    text = tok.decode(ids)
+    assert "hello" in text and "world" in text
+
+
+def test_tokenize_overlong_raises_and_truncates():
+    long_text = "word " * 200
+    with pytest.raises(RuntimeError):
+        tk.tokenize(long_text)
+    out = tk.tokenize(long_text, truncate=True)
+    assert out.shape == (1, 77)
+    assert out[0, -1] == 49407
+
+
+def test_tokenize_max_len_always_truncates():
+    long_text = "word " * 200
+    out = tk.tokenize_max_len([long_text, "short"])
+    assert out.shape == (2, 77)
+    assert out[0, -1] == 49407
+    assert out[1, 0] == 49406
+
+
+def test_tokenize_batch_and_determinism():
+    a = tk.tokenize(["a cat", "a dog"])
+    b = tk.tokenize(["a cat", "a dog"])
+    assert (a == b).all()
+    assert a.shape == (2, 77)
+    assert (a[0] != a[1]).any()
+
+
+def test_rake_extracts_content_phrases():
+    r = Rake()
+    r.extract_keywords_from_text(
+        "The quick brown fox jumps over the lazy dog while eating delicious "
+        "red apples in the garden"
+    )
+    phrases = r.get_ranked_phrases()
+    assert len(phrases) > 0
+    joined = " ".join(phrases)
+    assert "fox" in joined or "quick brown" in joined
+    # stopwords never appear as phrases
+    assert all(p not in ("the", "over", "while", "in") for p in phrases)
+
+
+def test_clip_preprocess_shapes_and_norm():
+    from vtc_tpu.data.preprocess import CLIP_MEAN, CLIP_STD, clip_preprocess
+
+    img = Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (320, 480, 3), dtype=np.uint8)
+    )
+    out = clip_preprocess(img)
+    assert out.shape == (3, 224, 224)
+    assert out.dtype == np.float32
+    # a uniform white image maps exactly to (1-mean)/std
+    white = Image.fromarray(np.full((300, 300, 3), 255, dtype=np.uint8))
+    out_w = clip_preprocess(white)
+    expected = ((1.0 - CLIP_MEAN) / CLIP_STD).astype(np.float32)
+    np.testing.assert_allclose(out_w[:, 0, 0], expected, rtol=1e-5)
+
+
+def test_clip_preprocess_device_matches_host_on_square():
+    import jax
+
+    from vtc_tpu.data.preprocess import clip_preprocess_device, clip_preprocess_frames
+
+    frames = np.random.default_rng(1).integers(
+        0, 255, (2, 224, 224, 3), dtype=np.uint8
+    )
+    host = clip_preprocess_frames(frames)
+    dev = np.asarray(jax.jit(clip_preprocess_device)(frames))
+    np.testing.assert_allclose(host, dev, atol=1e-2)
+
+
+def test_augment_frames_shared_across_time():
+    from vtc_tpu.data.preprocess import augment_frames
+
+    rng = np.random.default_rng(7)
+    frames = np.tile(
+        np.random.default_rng(2).integers(0, 255, (1, 300, 400, 3), dtype=np.uint8),
+        (8, 1, 1, 1),
+    )
+    out = augment_frames(frames, rng)
+    assert out.shape == (8, 256, 256, 3)
+    # identical input frames stay identical after the shared transform
+    assert (out[0] == out[5]).all()
