@@ -1,0 +1,193 @@
+"""CLIP dual encoder (ViT image tower + causal text tower) in JAX/flax.
+
+Architecture matches openai CLIP ViT-B/32|B/16|L/14 (the reference consumes
+it via ``clip.load``, ``model/model.py:317,392``): patch embedding as a
+strided conv — implemented here as reshape + one MXU matmul, which is the
+TPU-native lowering — class/positional embeddings, pre-LN transformer with
+QuickGELU, ln_post + projection on the image side; token/positional
+embeddings, causally-masked transformer, ln_final + EOT pooling + projection
+on the text side; learned ``logit_scale``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .layers import LayerNorm32, Transformer, causal_mask
+
+
+@dataclasses.dataclass(frozen=True)
+class ClipVariant:
+    input_resolution: int = 224
+    patch_size: int = 32
+    vision_width: int = 768
+    vision_layers: int = 12
+    vision_heads: int = 12
+    embed_dim: int = 512
+    text_width: int = 512
+    text_layers: int = 12
+    text_heads: int = 8
+    context_length: int = 77
+    vocab_size: int = 49408
+
+
+CLIP_VARIANTS = {
+    "ViT-B/32": ClipVariant(),
+    "ViT-B/16": ClipVariant(patch_size=16),
+    "ViT-L/14": ClipVariant(
+        patch_size=14,
+        vision_width=1024,
+        vision_layers=24,
+        vision_heads=16,
+        embed_dim=768,
+    ),
+}
+
+
+def patchify(x: jax.Array, patch: int) -> jax.Array:
+    """[B, 3, H, W] -> [B, gh*gw, 3*p*p] with channel-major patch vectors,
+    matching a torch Conv2d(OIHW) weight flattened as ``W.reshape(out, -1)``."""
+    b, c, h, w = x.shape
+    gh, gw = h // patch, w // patch
+    x = x.reshape(b, c, gh, patch, gw, patch)
+    x = x.transpose(0, 2, 4, 1, 3, 5)  # b gh gw c p p
+    return x.reshape(b, gh * gw, c * patch * patch)
+
+
+class VisionTransformer(nn.Module):
+    """CLIP visual tower."""
+
+    variant: ClipVariant
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        v = self.variant
+        width, patch = v.vision_width, v.patch_size
+        scale = width**-0.5
+
+        # Patch embedding: conv(stride=kernel) == reshape + matmul on the MXU.
+        conv1 = self.param(
+            "conv1",
+            nn.initializers.normal(scale),
+            (width, 3 * patch * patch),
+            jnp.float32,
+        )
+        x = patchify(x.astype(self.dtype), patch)
+        x = jnp.matmul(
+            x, conv1.astype(self.dtype).T, preferred_element_type=jnp.float32
+        ).astype(self.dtype)
+
+        class_embedding = self.param(
+            "class_embedding", nn.initializers.normal(scale), (width,), jnp.float32
+        )
+        n_pos = (v.input_resolution // patch) ** 2 + 1
+        positional_embedding = self.param(
+            "positional_embedding",
+            nn.initializers.normal(scale),
+            (n_pos, width),
+            jnp.float32,
+        )
+
+        cls = jnp.broadcast_to(
+            class_embedding.astype(self.dtype), (x.shape[0], 1, width)
+        )
+        x = jnp.concatenate([cls, x], axis=1)
+        x = x + positional_embedding.astype(self.dtype)
+
+        x = LayerNorm32(name="ln_pre")(x)
+        x = Transformer(
+            width, v.vision_layers, v.vision_heads, dtype=self.dtype,
+            name="transformer",
+        )(x)
+        x = LayerNorm32(name="ln_post")(x[:, 0, :])
+
+        proj = self.param(
+            "proj", nn.initializers.normal(scale), (width, v.embed_dim), jnp.float32
+        )
+        return jnp.matmul(
+            x, proj.astype(self.dtype), preferred_element_type=jnp.float32
+        ).astype(self.dtype)
+
+
+class TextTransformer(nn.Module):
+    """CLIP text tower with causal masking and EOT pooling."""
+
+    variant: ClipVariant
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, text):
+        v = self.variant
+        token_embedding = self.param(
+            "token_embedding",
+            nn.initializers.normal(0.02),
+            (v.vocab_size, v.text_width),
+            jnp.float32,
+        )
+        positional_embedding = self.param(
+            "positional_embedding",
+            nn.initializers.normal(0.01),
+            (v.context_length, v.text_width),
+            jnp.float32,
+        )
+
+        x = token_embedding[text].astype(self.dtype)
+        x = x + positional_embedding[: text.shape[-1]].astype(self.dtype)
+        mask = causal_mask(text.shape[-1])
+        x = Transformer(
+            v.text_width, v.text_layers, v.text_heads, dtype=self.dtype,
+            name="transformer",
+        )(x, mask)
+        x = LayerNorm32(name="ln_final")(x)
+
+        # EOT pooling: the eot token has the highest id in the vocab.
+        eot_idx = jnp.argmax(text, axis=-1)
+        x = jnp.take_along_axis(x, eot_idx[:, None, None], axis=1)[:, 0]
+
+        text_projection = self.param(
+            "text_projection",
+            nn.initializers.normal(v.text_width**-0.5),
+            (v.text_width, v.embed_dim),
+            jnp.float32,
+        )
+        return jnp.matmul(
+            x, text_projection.astype(self.dtype), preferred_element_type=jnp.float32
+        ).astype(self.dtype)
+
+
+class ClipModel(nn.Module):
+    """Dual encoder. ``visual_module`` may be overridden (the TimeSformer
+    models swap the visual tower, ``model/model.py:488,557``)."""
+
+    variant: ClipVariant
+    dtype: jnp.dtype = jnp.float32
+    visual_module: Optional[type] = None
+    visual_kwargs: Optional[dict] = None
+
+    def setup(self):
+        vis_cls = self.visual_module or VisionTransformer
+        kwargs = dict(self.visual_kwargs or {})
+        self.visual = vis_cls(variant=self.variant, dtype=self.dtype, **kwargs)
+        self.text = TextTransformer(variant=self.variant, dtype=self.dtype)
+        # CLIP init: log(1/0.07)
+        self.logit_scale = self.param(
+            "logit_scale",
+            lambda key, shape: jnp.full(shape, np.log(1 / 0.07), jnp.float32),
+            (),
+        )
+
+    def encode_image(self, images):
+        return self.visual(images)
+
+    def encode_text(self, text):
+        return self.text(text)
+
+    def __call__(self, images, text):
+        return self.encode_image(images), self.encode_text(text), self.logit_scale

@@ -1,0 +1,181 @@
+"""Core transformer layers shared by the CLIP towers, the TimeSformer, and
+the Context Adapter Module.
+
+Numerics follow CLIP exactly (required for checkpoint parity,
+``model/timesformer_clip_alt.py:22-33``):
+
+* LayerNorm always computes in float32 and casts back (CLIP's fp16-aware LN).
+* QuickGELU ``x * sigmoid(1.702 x)``.
+* Attention uses a single fused in-projection (3E x E) like
+  ``nn.MultiheadAttention`` / the reference's ``Attention``
+  (``timesformer_clip_alt.py:70-95``) — one big MXU matmul instead of three.
+
+All matmuls specify ``preferred_element_type=float32`` so the MXU accumulates
+in fp32 even when activations are bf16.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def quick_gelu(x):
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+class LayerNorm32(nn.Module):
+    """LayerNorm computed in float32 regardless of activation dtype."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        orig_dtype = x.dtype
+        dim = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.var(x32, axis=-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * scale + bias
+        return y.astype(orig_dtype)
+
+
+def _dot(a, b):
+    return jnp.matmul(a, b, preferred_element_type=jnp.float32).astype(a.dtype)
+
+
+class MultiHeadAttention(nn.Module):
+    """torch.nn.MultiheadAttention-equivalent with fused qkv projection.
+
+    Parameters are stored in the torch layout (``in_proj_weight`` [3E, E],
+    ``out_proj`` Dense) so checkpoint import is a direct copy.
+    """
+
+    embed_dim: int
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jax.Array] = None):
+        e, h = self.embed_dim, self.num_heads
+        head_dim = e // h
+        assert head_dim * h == e
+
+        in_proj_weight = self.param(
+            "in_proj_weight",
+            nn.initializers.truncated_normal(0.02, lower=-2.0, upper=2.0),
+            (3 * e, e),
+            jnp.float32,
+        )
+        in_proj_bias = self.param(
+            "in_proj_bias", nn.initializers.zeros, (3 * e,), jnp.float32
+        )
+
+        qkv = _dot(x, in_proj_weight.astype(self.dtype).T) + in_proj_bias.astype(
+            self.dtype
+        )
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):  # [..., L, E] -> [..., H, L, Dh]
+            t = t.reshape(t.shape[:-1] + (h, head_dim))
+            return jnp.moveaxis(t, -2, -3)
+
+        q = heads(q) * (head_dim**-0.5)
+        k = heads(k)
+        v = heads(v)
+
+        logits = jnp.matmul(
+            q, jnp.swapaxes(k, -1, -2), preferred_element_type=jnp.float32
+        )
+        if mask is not None:
+            logits = logits + mask
+        attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        out = _dot(attn, v)  # [..., H, L, Dh]
+        out = jnp.moveaxis(out, -3, -2)
+        out = out.reshape(out.shape[:-2] + (e,))
+
+        out = nn.Dense(
+            e,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="out_proj",
+            kernel_init=nn.initializers.truncated_normal(0.02, lower=-2.0, upper=2.0),
+        )(out)
+        return out
+
+
+class MLPBlock(nn.Module):
+    """CLIP MLP: c_fc (E -> 4E) -> QuickGELU -> c_proj (4E -> E)."""
+
+    width: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(
+            self.width * 4, dtype=self.dtype, param_dtype=jnp.float32, name="c_fc"
+        )(x)
+        x = quick_gelu(x)
+        x = nn.Dense(
+            self.width, dtype=self.dtype, param_dtype=jnp.float32, name="c_proj"
+        )(x)
+        return x
+
+
+class ResidualAttentionBlock(nn.Module):
+    """Pre-LN transformer block (CLIP layout)."""
+
+    width: int
+    heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jax.Array] = None):
+        x = x + MultiHeadAttention(
+            self.width, self.heads, dtype=self.dtype, name="attn"
+        )(LayerNorm32(name="ln_1")(x), mask)
+        x = x + MLPBlock(self.width, dtype=self.dtype, name="mlp")(
+            LayerNorm32(name="ln_2")(x)
+        )
+        return x
+
+
+class Transformer(nn.Module):
+    """Stack of residual attention blocks. Also reused standalone as the CAM
+    transformer (``clip.model.Transformer`` in ``model/model.py:396-398``)."""
+
+    width: int
+    layers: int
+    heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jax.Array] = None):
+        for i in range(self.layers):
+            x = ResidualAttentionBlock(
+                self.width, self.heads, dtype=self.dtype, name=f"resblocks_{i}"
+            )(x, mask)
+        return x
+
+
+def causal_mask(length: int, dtype=jnp.float32) -> jax.Array:
+    """Additive causal mask (upper-triangular -inf), fp32."""
+    mask = jnp.full((length, length), -jnp.inf, dtype=jnp.float32)
+    mask = jnp.triu(mask, k=1)
+    return mask
+
+
+def l2_normalize(x, axis=-1):
+    """x / ||x|| matching the reference ``normalize`` (``model/model.py:26``)."""
+    return x / jnp.linalg.norm(x, axis=axis, keepdims=True)
+
+
+def l2_normalize_eps(x, eps=1e-9, axis=-1):
+    """``normalize_eps`` (``model/model.py:30``)."""
+    return l2_normalize(x + eps, axis=axis)
