@@ -1,0 +1,93 @@
+"""TimeSformer tests, incl. the init-equals-frame-mean-ViT invariant the
+reference only checks in an inline __main__ smoke test
+(``timesformer_clip_alt.py:333-360``)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vtc_tpu.models.clip_model import CLIP_VARIANTS, VisionTransformer
+from vtc_tpu.models.timesformer import (
+    TimeSformer,
+    timesformer_params_from_clip_visual,
+)
+
+TINY = CLIP_VARIANTS["test-tiny"]
+RES = TINY.input_resolution
+NFRAMES = 4
+
+
+@pytest.fixture(scope="module")
+def towers():
+    vit = VisionTransformer(variant=TINY)
+    vit_params = vit.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 3, RES, RES))
+    )["params"]
+    tsf = TimeSformer(variant=TINY, nframes=NFRAMES)
+    tsf_params = timesformer_params_from_clip_visual(
+        vit_params, TINY, nframes=NFRAMES
+    )
+    return vit, vit_params, tsf, tsf_params
+
+
+def test_surgery_tree_matches_init(towers):
+    """Surgery output must be structurally identical to a fresh TimeSformer
+    init (the JAX analogue of the strict=False missing-keys assertion)."""
+    vit, vit_params, tsf, tsf_params = towers
+    fresh = tsf.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, NFRAMES, 3, RES, RES))
+    )["params"]
+    ref_shapes = jax.tree_util.tree_map(lambda x: x.shape, fresh)
+    got_shapes = jax.tree_util.tree_map(lambda x: np.asarray(x).shape, tsf_params)
+    assert ref_shapes == got_shapes
+
+
+def test_init_equals_frame_mean_vit(towers):
+    """At init (zero temporal_fc / temporal_embed), a repeated-frame video
+    must produce the single-frame ViT output exactly."""
+    vit, vit_params, tsf, tsf_params = towers
+    rng = np.random.default_rng(0)
+    frame = rng.normal(size=(2, 3, RES, RES)).astype(np.float32)
+    video = jnp.asarray(np.tile(frame[:, None], (1, NFRAMES, 1, 1, 1)))
+
+    vit_out = vit.apply({"params": vit_params}, jnp.asarray(frame))
+    tsf_out = tsf.apply({"params": tsf_params}, video)
+    np.testing.assert_allclose(
+        np.asarray(tsf_out), np.asarray(vit_out), atol=1e-4, rtol=1e-4
+    )
+
+
+def test_distinct_frames_differ_from_mean(towers):
+    """With distinct frames the (spatial-attention) output differs from the
+    naive per-frame mean — the tower actually mixes time."""
+    vit, vit_params, tsf, tsf_params = towers
+    rng = np.random.default_rng(1)
+    video = rng.normal(size=(2, NFRAMES, 3, RES, RES)).astype(np.float32)
+
+    tsf_out = np.asarray(tsf.apply({"params": tsf_params}, jnp.asarray(video)))
+    per_frame = np.asarray(
+        vit.apply({"params": vit_params}, jnp.asarray(video.reshape(-1, 3, RES, RES)))
+    ).reshape(2, NFRAMES, -1)
+    # at random init the shared-CLS coupling is weak, so the deviation from
+    # the naive mean is small but must be clearly above fp noise
+    assert np.abs(tsf_out - per_frame.mean(1)).max() > 5e-6
+    assert np.isfinite(tsf_out).all()
+
+
+def test_temporal_path_active_after_perturbation(towers):
+    """Perturbing temporal_fc changes the output (the zero-init path is
+    actually wired in)."""
+    vit, vit_params, tsf, tsf_params = towers
+    rng = np.random.default_rng(2)
+    video = jnp.asarray(
+        rng.normal(size=(1, NFRAMES, 3, RES, RES)).astype(np.float32)
+    )
+    out0 = np.asarray(tsf.apply({"params": tsf_params}, video))
+
+    import copy
+
+    p2 = copy.deepcopy(jax.tree_util.tree_map(np.asarray, tsf_params))
+    p2["transformer_resblocks_0"]["temporal_fc"]["kernel"] += 0.05
+    out1 = np.asarray(tsf.apply({"params": p2}, video))
+    assert not np.allclose(out0, out1, atol=1e-5)

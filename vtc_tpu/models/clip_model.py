@@ -47,6 +47,19 @@ CLIP_VARIANTS = {
         vision_heads=16,
         embed_dim=768,
     ),
+    # miniature variant for CPU tests and multi-chip dry runs
+    "test-tiny": ClipVariant(
+        input_resolution=32,
+        patch_size=8,
+        vision_width=64,
+        vision_layers=2,
+        vision_heads=4,
+        embed_dim=32,
+        text_width=64,
+        text_layers=2,
+        text_heads=4,
+        vocab_size=49408,
+    ),
 }
 
 

@@ -1,0 +1,135 @@
+"""Model factory: construct a model module + initialized variables with the
+reference's initialization semantics.
+
+* CLIP weights come from an openai-format ``.pt``/``.pth`` state dict (path
+  via ``clip_weights`` arg or the ``VTC_CLIP_WEIGHTS`` env var). Without a
+  weights file the towers stay randomly initialized (no network egress here;
+  the reference downloads weights inside ``clip.load``, ``model/model.py:317``).
+* TimeSformer models get CLIP->TimeSformer weight surgery
+  (``timesformer_clip_alt.py:289-330``).
+* CAM zero-init: with ``init_from_avg`` the adapter transformer starts as an
+  exact average and ``final_linear`` starts at zero (``model/model.py:440-452``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import retrieval
+from .cam import zero_init_cam_params
+from .clip_model import CLIP_VARIANTS
+from .timesformer import timesformer_params_from_clip_visual
+from .torch_import import import_openai_clip, load_torch_file
+
+ARCHS = {
+    "MLP": retrieval.MLP,
+    "JointEmbedding": retrieval.JointEmbedding,
+    "CLIP": retrieval.CLIP,
+    "PretrainedCLIP": retrieval.PretrainedCLIP,
+    "PretrainedCLIP_finaltf": retrieval.PretrainedCLIP_finaltf,
+    "PretrainedCLIP_TimeSformer": retrieval.PretrainedCLIP_TimeSformer,
+    "PretrainedCLIP_TimeSformer_finaltf": retrieval.PretrainedCLIP_TimeSformer_finaltf,
+}
+
+_CAM_ARCHS = {"PretrainedCLIP_finaltf", "PretrainedCLIP_TimeSformer_finaltf"}
+_TSF_ARCHS = {"PretrainedCLIP_TimeSformer", "PretrainedCLIP_TimeSformer_finaltf"}
+
+
+def _dummy_inputs(arch: str, module) -> tuple:
+    v = CLIP_VARIANTS[getattr(module, "model_type", "ViT-B/32")]
+    res = v.input_resolution
+    title = jnp.zeros((1, v.context_length), jnp.int32)
+    comments = jnp.zeros((1, 2, v.context_length), jnp.int32)
+    if arch == "MLP":
+        return (jnp.zeros((1, module.num_features), jnp.float32),)
+    if arch in ("JointEmbedding", "CLIP"):
+        return (
+            jnp.zeros((1, module.input_dims_a), jnp.float32),
+            jnp.zeros((1, module.input_dims_b), jnp.float32),
+        )
+    if arch in _TSF_ARCHS:
+        vis = jnp.zeros((1, module.nframes, 3, res, res), jnp.float32)
+    else:
+        vis = jnp.zeros((1, 3, res, res), jnp.float32)
+    if arch == "PretrainedCLIP":
+        return (vis, title)
+    if arch == "PretrainedCLIP_finaltf" and getattr(module, "init_audio_model", False):
+        return (vis, title, comments, jnp.zeros((1, 5, 512), jnp.float32))
+    return (vis, title, comments)
+
+
+def find_clip_weights(path: Optional[str] = None) -> Optional[str]:
+    for p in [path, os.environ.get("VTC_CLIP_WEIGHTS"),
+              "/root/data/ViT-B-32.pt"]:
+        if p and os.path.exists(p):
+            return p
+    return None
+
+
+def load_openai_state_dict(path: str):
+    """openai CLIP distributions are TorchScript archives; fall back to a
+    plain state_dict load."""
+    import torch
+
+    try:
+        model = torch.jit.load(path, map_location="cpu")
+        return model.state_dict()
+    except Exception:
+        obj = load_torch_file(path)
+        return obj.get("state_dict", obj) if isinstance(obj, dict) else obj
+
+
+def create_model(
+    arch: str,
+    seed: int = 0,
+    clip_weights: Optional[str] = None,
+    dtype=jnp.float32,
+    **kwargs,
+) -> Tuple[object, dict]:
+    """Build (module, variables) for an architecture name from the registry."""
+    if arch not in ARCHS:
+        raise KeyError(f"Unknown arch {arch!r}; available: {sorted(ARCHS)}")
+    # accepted-for-compat torch-specific args
+    kwargs.pop("audio_model_ckpt", None)
+    clip_audio_ckpt = kwargs.pop("clip_audio_ckpt", None)
+    module = ARCHS[arch](dtype=dtype, **kwargs)
+
+    rngs = {
+        "params": jax.random.PRNGKey(seed),
+        "adapter_skip": jax.random.PRNGKey(seed + 1),
+        "comment_mask": jax.random.PRNGKey(seed + 2),
+        "dropout": jax.random.PRNGKey(seed + 3),
+    }
+    variables = module.init(rngs, *_dummy_inputs(arch, module))
+    variables = jax.tree_util.tree_map(np.asarray, variables)
+    params = dict(variables["params"])
+
+    weights_path = find_clip_weights(
+        clip_audio_ckpt if clip_audio_ckpt else clip_weights
+    )
+    if weights_path is not None and "clip" in params:
+        sd = load_openai_state_dict(weights_path)
+        imported = import_openai_clip(sd)
+        if arch in _TSF_ARCHS:
+            v = CLIP_VARIANTS[getattr(module, "model_type", "ViT-B/32")]
+            imported["visual"] = timesformer_params_from_clip_visual(
+                imported["visual"], v, nframes=getattr(module, "nframes", 8),
+                seed=seed,
+            )
+        params["clip"] = imported
+
+    if arch in _CAM_ARCHS:
+        params["cam"] = zero_init_cam_params(
+            dict(params["cam"]),
+            int(getattr(module, "n_layers", 2)),
+            bool(getattr(module, "init_from_avg", True)),
+        )
+
+    variables = dict(variables)
+    variables["params"] = params
+    return module, variables
