@@ -88,6 +88,16 @@ def test_temporal_path_active_after_perturbation(towers):
     import copy
 
     p2 = copy.deepcopy(jax.tree_util.tree_map(np.asarray, tsf_params))
-    p2["transformer_resblocks_0"]["temporal_fc"]["kernel"] += 0.05
+    blk = p2["transformer_resblocks_0"]
+    blk["temporal_fc"]["kernel"] = np.eye(TINY.vision_width, dtype=np.float32)
+    blk["timeattn"]["out_proj"]["kernel"] = (
+        blk["timeattn"]["out_proj"]["kernel"] * 100.0
+    )
     out1 = np.asarray(tsf.apply({"params": p2}, video))
-    assert not np.allclose(out0, out1, atol=1e-5)
+    assert not np.allclose(out0, out1, atol=1e-4)
+
+    # the temporal embedding also feeds the tokens (zero at init)
+    p3 = copy.deepcopy(jax.tree_util.tree_map(np.asarray, tsf_params))
+    p3["temporal_embed"] = p3["temporal_embed"] + 0.5
+    out2 = np.asarray(tsf.apply({"params": p3}, video))
+    assert not np.allclose(out0, out2, atol=1e-4)
