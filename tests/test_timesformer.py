@@ -98,6 +98,10 @@ def test_temporal_path_active_after_perturbation(towers):
 
     # the temporal embedding also feeds the tokens (zero at init)
     p3 = copy.deepcopy(jax.tree_util.tree_map(np.asarray, tsf_params))
-    p3["temporal_embed"] = p3["temporal_embed"] + 0.5
+    # note: a constant shift would be erased by ln_pre; perturb per-dim
+    p3["temporal_embed"] = p3["temporal_embed"] + np.asarray(
+        np.random.default_rng(0).normal(size=p3["temporal_embed"].shape),
+        dtype=np.float32,
+    )
     out2 = np.asarray(tsf.apply({"params": p3}, video))
     assert not np.allclose(out0, out2, atol=1e-4)
