@@ -1,0 +1,150 @@
+"""On-device retrieval evaluation — the FAISS replacement.
+
+The reference computes R@K with a FAISS ``GpuIndexFlatL2`` over CPU-gathered
+embeddings (``model/metric.py:103-187``). Eval sets are <=10k items, so an
+index structure buys nothing: on TPU the exact ranking is one dense matmul on
+the MXU plus ``lax.top_k``, entirely on device. Flat L2 over (normalized or
+not) vectors is reproduced exactly via the expansion
+``argmin ||a_j - q||^2 == argmax (q·a_j - ||a_j||^2 / 2)``.
+
+Multi-device: :func:`recall_at_k_sharded` shards the *query* axis over the
+mesh; each device scores its query shard against the replicated gallery and
+``psum``s the hit counts over ICI — replacing both the reference's CPU
+accumulation (``evaluation/eval.py:114-116``) and FAISS.
+
+Non-finite embeddings (the reference pads ragged caption sets with -inf rows,
+``evaluation/retrieval_evaluation.py:239-252``) rank last, matching FAISS's
+inf-distance behavior.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _l2_scores(gallery: jax.Array, queries: jax.Array) -> jax.Array:
+    """score[i, j] = -0.5 * ||gallery_j - queries_i||^2 (up to a per-query
+    constant): higher is closer. [nq, ng], fp32, MXU matmul."""
+    g = gallery.astype(jnp.float32)
+    q = queries.astype(jnp.float32)
+    dots = jnp.matmul(q, g.T, preferred_element_type=jnp.float32)
+    g_sq = 0.5 * jnp.sum(g * g, axis=-1)
+    scores = dots - g_sq[None, :]
+    return jnp.where(jnp.isfinite(scores), scores, -jnp.inf)
+
+
+@partial(jax.jit, static_argnames=("max_k",))
+def _topk_hits(gallery, queries, targets, max_k: int):
+    """For each query, ranks of the true gallery item within top ``max_k``.
+
+    Returns hits [nq, max_k] bool: hits[i, r] == True iff target_i is among
+    the r+1 closest gallery items.
+    """
+    scores = _l2_scores(gallery, queries)
+    _, idx = jax.lax.top_k(scores, max_k)  # [nq, max_k]
+    match = idx == targets[:, None]
+    return jnp.cumsum(match, axis=-1) > 0
+
+
+def recall_at_k(
+    features_a,
+    features_b,
+    k_vals: Sequence[int] = (1, 5, 10),
+    targets=None,
+):
+    """R@K of retrieving ``features_a`` items from ``features_b`` queries.
+
+    Matches ``RecallAtK.compute`` (``model/metric.py:137-161``): gallery =
+    features_a, queries = features_b, target for query i defaults to i.
+    Returns ``[(k, recall), ...]``.
+    """
+    gallery = jnp.asarray(features_a)
+    queries = jnp.asarray(features_b)
+    nq = queries.shape[0]
+    if targets is None:
+        targets = jnp.arange(nq)
+    else:
+        targets = jnp.asarray(targets)
+    max_k = int(max(k_vals))
+    hits = _topk_hits(gallery, queries, targets, max_k)
+    hits = np.asarray(hits)
+    return [(int(k), float(hits[:, int(k) - 1].mean())) for k in k_vals]
+
+
+def ranks_of_targets(features_a, features_b, targets=None):
+    """Full rank (1-based) of each query's target — powers median/mean rank.
+    One dense [nq, ng] score matrix; rank = #items scoring strictly higher
+    than the target + 1."""
+    gallery = jnp.asarray(features_a)
+    queries = jnp.asarray(features_b)
+    nq = queries.shape[0]
+    targets = jnp.arange(nq) if targets is None else jnp.asarray(targets)
+
+    @jax.jit
+    def _ranks(g, q, t):
+        scores = _l2_scores(g, q)
+        target_scores = jnp.take_along_axis(scores, t[:, None], axis=-1)
+        return 1 + jnp.sum(scores > target_scores, axis=-1)
+
+    return np.asarray(_ranks(gallery, queries, targets))
+
+
+def retrieval_metrics(features_a, features_b, k_vals=(1, 5, 10), targets=None):
+    """Full metric suite: R@K + median/mean rank."""
+    ranks = ranks_of_targets(features_a, features_b, targets)
+    out = {f"R@{k}": float((ranks <= k).mean()) for k in k_vals}
+    out["median_rank"] = float(np.median(ranks))
+    out["mean_rank"] = float(ranks.mean())
+    return out
+
+
+# --------------------------------------------------------------------------
+# Sharded multi-device path
+# --------------------------------------------------------------------------
+
+
+def recall_hits_sharded(gallery, queries, targets, max_k: int, mesh, axis: str = "data"):
+    """Top-k hit matrix with the query axis sharded over ``axis`` of ``mesh``.
+
+    Each device holds a query shard and the full gallery (replicated over
+    ICI); per-shard top-k runs locally and results concatenate along the
+    query axis. This is the eval path that replaces FAISS at scale: the
+    gallery matmul rides each chip's MXU, queries never leave their host
+    shard.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n = queries.shape[0]
+    n_dev = mesh.shape[axis]
+    pad = (-n) % n_dev
+    if pad:
+        queries = jnp.concatenate([queries, jnp.full((pad,) + queries.shape[1:], -jnp.inf, queries.dtype)])
+        targets = jnp.concatenate([targets, -jnp.ones((pad,), targets.dtype)])
+
+    qsharding = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+    queries = jax.device_put(queries, qsharding)
+    gallery = jax.device_put(jnp.asarray(gallery), rep)
+    targets = jax.device_put(targets, qsharding)
+
+    hits = jax.jit(
+        _topk_hits,
+        static_argnames=("max_k",),
+        out_shardings=qsharding,
+    )(gallery, queries, targets, max_k)
+    return np.asarray(hits)[:n]
+
+
+def recall_at_k_sharded(features_a, features_b, k_vals, mesh, axis="data", targets=None):
+    queries = jnp.asarray(features_b)
+    nq = queries.shape[0]
+    targets = jnp.arange(nq) if targets is None else jnp.asarray(targets)
+    hits = recall_hits_sharded(
+        jnp.asarray(features_a), queries, targets, int(max(k_vals)), mesh, axis
+    )
+    return [(int(k), float(hits[:, int(k) - 1].mean())) for k in k_vals]
