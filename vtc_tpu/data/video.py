@@ -1,0 +1,150 @@
+"""Host-side video decoding.
+
+The reference decodes through a custom-built torchvision/ffmpeg private API
+with ffmpeg-side resize (``dataset_loaders.py:405-424``); ffmpeg/libav dev
+headers are not available in this image, so decode goes through OpenCV's
+bundled ffmpeg (``cv2.VideoCapture``) with the same semantics: seek to a
+segment, decode, resize (height-preserving-AR), RGB output, zero-frame
+fallbacks. The native C++ preprocessing stage (resize/normalize) lives in
+``native/`` and is used downstream of decode.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+try:
+    import cv2
+
+    _HAS_CV2 = True
+except ImportError:  # pragma: no cover
+    _HAS_CV2 = False
+
+FALLBACK_SHAPE = (8, 300, 300, 3)
+
+
+def _resize_dims(w: int, h: int, target_w: int, target_h: int) -> Tuple[int, int]:
+    """ffmpeg-style: a 0 dimension preserves aspect ratio."""
+    if target_w == 0 and target_h == 0:
+        return w, h
+    if target_w == 0:
+        return max(1, round(w * target_h / h)), target_h
+    if target_h == 0:
+        return target_w, max(1, round(h * target_w / w))
+    return target_w, target_h
+
+
+def read_video_segment(
+    path: str,
+    start_sec: float = 0.0,
+    end_sec: Optional[float] = None,
+    resize_width: int = 0,
+    resize_height: int = 0,
+    max_frames: Optional[int] = None,
+) -> np.ndarray:
+    """Decode [start_sec, end_sec] -> uint8 [t, h, w, 3] RGB. Empty array on
+    failure (callers implement the reference's fallback chain)."""
+    if not _HAS_CV2:
+        return np.zeros((0,) + FALLBACK_SHAPE[1:], np.uint8)
+    cap = cv2.VideoCapture(str(path))
+    if not cap.isOpened():
+        return np.zeros((0,) + FALLBACK_SHAPE[1:], np.uint8)
+    try:
+        if start_sec > 0:
+            cap.set(cv2.CAP_PROP_POS_MSEC, start_sec * 1000.0)
+        frames = []
+        while True:
+            if end_sec is not None:
+                pos = cap.get(cv2.CAP_PROP_POS_MSEC)
+            ok, frame = cap.read()
+            if not ok:
+                break
+            if end_sec is not None and pos > end_sec * 1000.0:
+                break
+            w, h = frame.shape[1], frame.shape[0]
+            nw, nh = _resize_dims(w, h, resize_width, resize_height)
+            if (nw, nh) != (w, h):
+                frame = cv2.resize(frame, (nw, nh), interpolation=cv2.INTER_AREA)
+            frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+            if max_frames is not None and len(frames) >= max_frames:
+                break
+        if not frames:
+            return np.zeros((0,) + FALLBACK_SHAPE[1:], np.uint8)
+        return np.stack(frames)
+    finally:
+        cap.release()
+
+
+def read_video_full(path: str) -> np.ndarray:
+    return read_video_segment(path)
+
+
+def video_duration_sec(path: str) -> float:
+    if not _HAS_CV2:
+        return 0.0
+    cap = cv2.VideoCapture(str(path))
+    try:
+        fps = cap.get(cv2.CAP_PROP_FPS) or 0
+        n = cap.get(cv2.CAP_PROP_FRAME_COUNT) or 0
+        return float(n / fps) if fps > 0 else 0.0
+    finally:
+        cap.release()
+
+
+def linspace_subsample(vid: np.ndarray, nframes: int) -> np.ndarray:
+    """floor-linspace frame selection (``dataset_loaders.py:430-433``)."""
+    idxs = np.floor(np.linspace(0, len(vid) - 1, nframes)).astype(np.int64)
+    return vid[idxs]
+
+
+def read_segment_with_fallbacks(
+    path: str,
+    *,
+    video_length: float,
+    nframes: int = 8,
+    frame_strides=(4, 8, 16, 32),
+    reference_fps: float = 30.0,
+    is_reddit: bool = True,
+    train: bool = True,
+    resize_width: int = 0,
+    resize_height: int = 300,
+    rng: Optional[np.random.Generator] = None,
+) -> np.ndarray:
+    """The reference's segment reader (``dataset_loaders.py:353-437``):
+    random stride, reddit 1.4s start offset, random (train) or zero start,
+    two-stage fallback, floor-linspace subsample to ``nframes``."""
+    rng = rng or np.random.default_rng()
+    video_length = min(60, video_length)
+    frame_stride = frame_strides[int(rng.integers(0, len(frame_strides)))]
+    segment_duration = nframes / (reference_fps / frame_stride)
+
+    # reddit videos commonly have a 1.4s container start offset
+    # (dataset_loaders.py:362-372)
+    start_time = 1.4 if is_reddit else 0.0
+
+    if train:
+        start_lower = start_time
+        start_upper = max(0.0, video_length - segment_duration)
+        segment_start = (start_lower - start_upper) * float(
+            rng.random()
+        ) + start_upper
+    else:
+        segment_start = 0.0
+    segment_end = segment_start + segment_duration
+
+    vid = read_video_segment(
+        path, segment_start, segment_end,
+        resize_width=resize_width, resize_height=resize_height,
+    )
+    if vid.shape[0] == 0:
+        print("Zero len vid, trying fallback", path)
+        vid = read_video_segment(
+            path, 0, 5, resize_width=resize_width, resize_height=resize_height
+        )
+    if vid.shape[0] == 0:
+        print("Fallback failed", path)
+        vid = np.zeros(FALLBACK_SHAPE, np.uint8)
+
+    return linspace_subsample(vid, nframes)

@@ -197,3 +197,84 @@ def load_torch_file(path):
         return torch.load(path, map_location="cpu", weights_only=False)
     except TypeError:
         return torch.load(path, map_location="cpu")
+
+
+# --------------------------------------------------------------------------
+# VTC reference checkpoints (full retrieval models)
+# --------------------------------------------------------------------------
+
+
+def _flatten_tsf_visual(visual_tree: Dict) -> Dict:
+    """Nested CLIP-visual tree -> the TimeSformer module's flat block naming
+    (``transformer_resblocks_i``)."""
+    out = {k: v for k, v in visual_tree.items() if k != "transformer"}
+    for name, blk in visual_tree.get("transformer", {}).items():
+        out[f"transformer_{name}"] = blk
+    return out
+
+
+def import_vtc_state_dict(sd, timesformer: bool = False) -> Dict:
+    """Reference model ``state_dict`` (``trainer/base_trainer.py:133``) ->
+    {"params": ..., "batch_stats": ...} for the matching vtc_tpu arch.
+
+    Handles the ``model.*`` CLIP prefix, the CAM keys, the optional
+    ``mean_center_bn`` running stats, and the optional audio MLP head.
+    """
+    sd = {k: v for k, v in sd.items()}
+    # some reference checkpoints are saved from DataParallel ("module." prefix)
+    if any(k.startswith("module.") for k in sd):
+        sd = {k[len("module."):]: v for k, v in sd.items() if k.startswith("module.")}
+
+    clip_sd = {k[len("model."):]: v for k, v in sd.items() if k.startswith("model.")}
+    params: Dict = {"clip": {}}
+    import_openai_visual(clip_sd, params["clip"], timesformer=timesformer)
+    import_openai_text(clip_sd, params["clip"])
+    params["clip"]["logit_scale"] = _np(clip_sd["logit_scale"])
+    if timesformer:
+        params["clip"]["visual"] = _flatten_tsf_visual(params["clip"]["visual"])
+
+    batch_stats: Dict = {}
+    if "final_linear.weight" in sd:
+        cam: Dict = {}
+        n = _num_blocks(sd, "final_transformer.resblocks")
+        for i in range(n):
+            _import_block(
+                sd, f"final_transformer.resblocks.{i}", cam,
+                f"final_transformer/resblocks_{i}",
+            )
+        cam["final_linear"] = _np(sd["final_linear.weight"]).T
+        cam["mask_embedding"] = _np(sd["mask_embedding"])
+        params["cam"] = cam
+        if "mean_center_bn.running_mean" in sd:
+            batch_stats["cam"] = {
+                "mean": _np(sd["mean_center_bn.running_mean"]),
+                "var": _np(sd["mean_center_bn.running_var"]),
+            }
+
+    if "audio_model.mlp.layers.1.weight" in sd:
+        mlp = {
+            "fc1": {
+                "kernel": _np(sd["audio_model.mlp.layers.1.weight"]).T,
+                "bias": _np(sd["audio_model.mlp.layers.1.bias"]),
+            },
+            "bn": {
+                "scale": _np(sd["audio_model.mlp.layers.2.weight"]),
+                "bias": _np(sd["audio_model.mlp.layers.2.bias"]),
+            },
+            "fc2": {
+                "kernel": _np(sd["audio_model.mlp.layers.4.weight"]).T,
+                "bias": _np(sd["audio_model.mlp.layers.4.bias"]),
+            },
+        }
+        params["audio_mlp"] = mlp
+        batch_stats["audio_mlp"] = {
+            "bn": {
+                "mean": _np(sd["audio_model.mlp.layers.2.running_mean"]),
+                "var": _np(sd["audio_model.mlp.layers.2.running_var"]),
+            }
+        }
+
+    out = {"params": params}
+    if batch_stats:
+        out["batch_stats"] = batch_stats
+    return out

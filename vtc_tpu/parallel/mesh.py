@@ -1,0 +1,108 @@
+"""Device mesh + sharding rules.
+
+The reference's parallelism is single-process DataParallel plus one manual
+2-GPU model split (``train.py:77-79``, ``model/model.py:590-613``). Here both
+are subsumed by a single ``jax.sharding.Mesh`` with axes ``("data", "model")``:
+
+* batch axes shard over ``data`` (gradients psum over ICI by the partitioner);
+* the transformer's large GEMMs shard Megatron-style over ``model`` (qkv /
+  mlp-in split by output column, out-proj / mlp-out by input row), which also
+  covers the reference's visual-tower-on-its-own-device capability without a
+  pipeline scheduler.
+
+Everything is GSPMD: param/batch PartitionSpecs are assigned by path rules
+below and XLA inserts the collectives.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def create_mesh(
+    n_data: Optional[int] = None, n_model: int = 1, devices=None
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    devices = devices[: n_data * n_model]
+    arr = np.array(devices).reshape(n_data, n_model)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+# (path regex, PartitionSpec) — first match wins. Paths are '/'-joined.
+_PARAM_RULES = [
+    # fused qkv: shard the 3E output rows over model
+    (re.compile(r".*attn/in_proj_weight$"), P(MODEL_AXIS, None)),
+    (re.compile(r".*attn/in_proj_bias$"), P(MODEL_AXIS)),
+    # attention output projection: input (head) dim sharded
+    (re.compile(r".*attn/out_proj/kernel$"), P(MODEL_AXIS, None)),
+    # MLP: in-proj by column, out-proj by row
+    (re.compile(r".*mlp/c_fc/kernel$"), P(None, MODEL_AXIS)),
+    (re.compile(r".*mlp/c_fc/bias$"), P(MODEL_AXIS)),
+    (re.compile(r".*mlp/c_proj/kernel$"), P(MODEL_AXIS, None)),
+    # large embedding tables: shard the vocab/table rows
+    (re.compile(r".*token_embedding$"), P(MODEL_AXIS, None)),
+]
+
+
+def param_pspec(path: str) -> P:
+    for rule, spec in _PARAM_RULES:
+        if rule.match(path):
+            return spec
+    return P()  # replicated
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        parts.append(str(getattr(p, "key", getattr(p, "idx", p))))
+    return "/".join(parts)
+
+
+def tree_pspecs(tree):
+    """Pytree of PartitionSpecs for a parameter tree."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: param_pspec(_path_str(path)), tree
+    )
+
+
+def tree_shardings(tree, mesh: Mesh):
+    return jax.tree_util.tree_map(
+        lambda spec: NamedSharding(mesh, spec), tree_pspecs(tree)
+    )
+
+
+def batch_pspec():
+    return P(DATA_AXIS)
+
+
+def batch_shardings(tree, mesh: Mesh):
+    return jax.tree_util.tree_map(
+        lambda _: NamedSharding(mesh, P(DATA_AXIS)), tree
+    )
+
+
+def replicated(mesh: Mesh):
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """device_put a host batch with the leading axis over the data axis.
+    Pads the batch to a multiple of the data-axis size if needed (padding is
+    the caller's responsibility to mask; training uses drop_last so sizes
+    always divide)."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, P(DATA_AXIS)))
+        if hasattr(x, "shape") and x.ndim >= 1
+        else x,
+        batch,
+    )

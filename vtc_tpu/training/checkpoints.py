@@ -1,0 +1,152 @@
+"""Checkpoint save / resume with the reference's semantics, on Orbax.
+
+Mirrors ``trainer/base_trainer.py:116-219``:
+
+* ``checkpoint-epoch{N}`` every ``save_period`` epochs + ``model_best`` when
+  the monitored metric improves; payload = arch name, epoch, model params (+
+  batch stats), optimizer state, monitor_best, config.
+* Resume restores epoch/monitor/optimizer/lr state with the same guards:
+  optimizer state is dropped when the optimizer type or lr changed; an
+  architecture mismatch warns.
+* **Warm-start** across architectures (image CAM model -> TimeSformer video
+  model) grafts every matching-shape leaf and asserts the reference's key
+  patterns: params missing from the checkpoint must be time/temporal ones,
+  params only in the checkpoint must be final/mask (CAM) ones
+  (``base_trainer.py:165-176``).
+
+Also loads reference PyTorch ``.pth`` checkpoints transparently (suffix
+dispatch) via ``models.torch_import``.
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+logger = logging.getLogger(__name__)
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}/"))
+    else:
+        out[prefix[:-1]] = tree
+    return out
+
+
+def _unflatten(flat):
+    tree = {}
+    for path, v in flat.items():
+        node = tree
+        keys = path.split("/")
+        for k in keys[:-1]:
+            node = node.setdefault(k, {})
+        node[keys[-1]] = v
+    return tree
+
+
+def save_checkpoint(
+    ckpt_dir: Path,
+    name: str,
+    *,
+    arch: str,
+    epoch: int,
+    params,
+    opt_state,
+    batch_stats=None,
+    monitor_best=None,
+    config=None,
+) -> Path:
+    path = Path(ckpt_dir) / name
+    payload = {
+        "arch": arch,
+        "epoch": epoch,
+        "params": jax.tree_util.tree_map(np.asarray, params),
+        "monitor_best": np.asarray(
+            monitor_best if monitor_best is not None else 0.0
+        ),
+    }
+    if batch_stats:
+        payload["batch_stats"] = jax.tree_util.tree_map(np.asarray, batch_stats)
+    if opt_state is not None:
+        payload["opt_state"] = jax.tree_util.tree_map(
+            np.asarray, jax.tree_util.tree_map(lambda x: x, opt_state)
+        )
+    if config is not None:
+        import json
+
+        payload["config_json"] = json.dumps(dict(config))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path.absolute(), payload, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def load_checkpoint(path) -> dict:
+    """Load either a vtc_tpu Orbax checkpoint or a reference torch .pth."""
+    path = Path(path)
+    if path.suffix in (".pth", ".pt", ".tar"):
+        from ..models.torch_import import import_vtc_state_dict, load_torch_file
+
+        obj = load_torch_file(path)
+        sd = obj.get("state_dict", obj)
+        timesformer = any("timeattn" in k for k in sd)
+        imported = import_vtc_state_dict(sd, timesformer=timesformer)
+        out = {
+            "arch": obj.get("arch"),
+            "epoch": obj.get("epoch", 0),
+            "params": imported["params"],
+            "monitor_best": obj.get("monitor_best", 0.0),
+            "torch_config": obj.get("config"),
+        }
+        if "batch_stats" in imported:
+            out["batch_stats"] = imported["batch_stats"]
+        return out
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(path.absolute())
+    return restored
+
+
+def graft_params(init_params, loaded_params, strict: bool = False):
+    """Copy every matching-shape leaf of ``loaded_params`` into
+    ``init_params``; return (params, missing_keys, unexpected_keys).
+
+    The reference's warm-start contract (``base_trainer.py:165-176``):
+    ``missing`` = params the model has but the checkpoint lacks (must be
+    time/temporal), ``unexpected`` = checkpoint params the model lacks (must
+    be final/mask).
+    """
+    flat_init = _flatten(jax.tree_util.tree_map(np.asarray, init_params))
+    flat_load = _flatten(jax.tree_util.tree_map(np.asarray, loaded_params))
+
+    missing = sorted(set(flat_init) - set(flat_load))
+    unexpected = sorted(set(flat_load) - set(flat_init))
+    if strict and (missing or unexpected):
+        raise ValueError(f"missing={missing} unexpected={unexpected}")
+
+    merged = dict(flat_init)
+    for k in set(flat_init) & set(flat_load):
+        if flat_init[k].shape != flat_load[k].shape:
+            raise ValueError(
+                f"shape mismatch for {k}: {flat_init[k].shape} vs "
+                f"{flat_load[k].shape}"
+            )
+        merged[k] = flat_load[k]
+    return _unflatten(merged), missing, unexpected
+
+
+def assert_warm_start_keys(missing, unexpected):
+    """``base_trainer.py:175-176``."""
+    assert all(
+        "time" in m or "temporal" in m for m in missing
+    ), f"unexpected missing keys: {[m for m in missing if 'time' not in m and 'temporal' not in m][:5]}"
+    assert all(
+        "final" in u or "mask" in u or "cam" in u for u in unexpected
+    ), f"unexpected extra keys: {[u for u in unexpected if 'final' not in u and 'mask' not in u and 'cam' not in u][:5]}"
