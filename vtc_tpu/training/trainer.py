@@ -68,18 +68,18 @@ def make_step_fns(module, criterion, tx, donate: bool = True):
         kwargs = {}
         if branch_override is not None:
             kwargs["branch_override"] = branch_override
+        mutable_arg = mutable if (train and mutable) else False
         try:
             out = module.apply(
                 variables, *data, train=train, rngs=rngs,
-                mutable=mutable if train else False, **kwargs,
+                mutable=mutable_arg, **kwargs,
             )
         except TypeError:
             # models without a train kwarg path (e.g. simple baselines)
             out = module.apply(
-                variables, *data, rngs=rngs,
-                mutable=mutable if train else False, **kwargs,
+                variables, *data, rngs=rngs, mutable=mutable_arg, **kwargs,
             )
-        if train and mutable:
+        if mutable_arg:
             return out
         return out, {}
 
