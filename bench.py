@@ -1,0 +1,109 @@
+"""Benchmark: eval throughput (clip-pairs/sec/chip) of the flagship model.
+
+Flagship = PretrainedCLIP_finaltf (CLIP ViT-B/32 image+text towers + Context
+Adapter over 5 comments) running the retrieval-eval forward: encode image,
+title, 5 comments, adapt, dense similarity. bf16 activations / fp32 params
+and accumulation (MXU-native).
+
+Baseline = the same forward jitted on one host CPU (the reference ships no
+hardware benchmarks — SURVEY.md §6 — so the CPU run is the comparison point;
+the BASELINE.md target is >=10x CPU). The CPU number is measured once in a
+subprocess and cached in ``.bench_cpu_baseline.json``.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+CACHE = Path(__file__).parent / ".bench_cpu_baseline.json"
+
+BENCH_CODE = r"""
+import json, time
+import numpy as np
+
+def run(batch, iters, warmup, dtype_name):
+    import jax
+    import jax.numpy as jnp
+    from vtc_tpu.models import create_model
+
+    dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
+    module, variables = create_model(
+        "PretrainedCLIP_finaltf", model_type="ViT-B/32", seed=0, dtype=dtype
+    )
+
+    @jax.jit
+    def fwd(vis, title, comments):
+        feats_vis, feats_text, sim = module.apply(variables, vis, title, comments)
+        return feats_vis, feats_text
+
+    rng = np.random.default_rng(0)
+    vis = jnp.asarray(rng.normal(size=(batch, 3, 224, 224)).astype(np.float32))
+    title = jnp.asarray(rng.integers(1, 49405, size=(batch, 77)).astype(np.int32))
+    comments = jnp.asarray(rng.integers(1, 49405, size=(batch, 5, 77)).astype(np.int32))
+
+    for _ in range(warmup):
+        out = fwd(vis, title, comments)
+        jax.block_until_ready(out)
+    tic = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(vis, title, comments)
+        jax.block_until_ready(out)
+    dt = time.perf_counter() - tic
+    return batch * iters / dt
+"""
+
+
+def _measure_cpu() -> float:
+    """CPU baseline in a clean subprocess (the TPU plugin owns this process)."""
+    if CACHE.exists():
+        try:
+            return float(json.loads(CACHE.read_text())["pairs_per_sec"])
+        except Exception:
+            pass
+    code = BENCH_CODE + "\nprint('CPURESULT', run(8, 2, 1, 'fp32'))\n"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = str(Path(__file__).parent)
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, env=env,
+        timeout=1800, cwd=str(Path(__file__).parent),
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("CPURESULT"):
+            val = float(line.split()[1])
+            CACHE.write_text(json.dumps({"pairs_per_sec": val, "ts": time.time()}))
+            return val
+    raise RuntimeError(f"CPU baseline failed: {out.stderr[-2000:]}")
+
+
+def main():
+    batch = int(os.environ.get("BENCH_BATCH", 128))
+    iters = int(os.environ.get("BENCH_ITERS", 20))
+
+    ns = {}
+    exec(BENCH_CODE, ns)
+    tpu_pps = ns["run"](batch, iters, warmup=3, dtype_name="bf16")
+
+    try:
+        cpu_pps = _measure_cpu()
+    except Exception as e:
+        print(f"warning: CPU baseline unavailable ({e})", file=sys.stderr)
+        cpu_pps = None
+
+    result = {
+        "metric": "eval_clip_pairs_per_sec_per_chip",
+        "value": round(tpu_pps, 2),
+        "unit": "pairs/s",
+        "vs_baseline": round(tpu_pps / cpu_pps, 2) if cpu_pps else None,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

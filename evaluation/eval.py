@@ -1,0 +1,165 @@
+"""VTC test-set evaluation CLI — mirrors ``evaluation/eval.py`` of the
+reference (``:50-196``): config-driven test-split eval, bidirectional
+R@1/5/10, JSON results named by the experiment combo, and the
+``add_irrelevant_comms`` robustness probe.
+
+Embeddings stay on device; recall runs via the on-device top-k kernel
+instead of FAISS.
+"""
+
+import argparse
+import json
+import logging
+import sys
+from pathlib import Path
+
+sys.path.append(str(Path(__file__).parent.parent))
+
+import numpy as np
+
+from vtc_tpu import data as module_data
+from vtc_tpu.config import ConfigParser, CustomArgs
+from vtc_tpu.data import DataLoader
+from vtc_tpu.models import create_model
+from vtc_tpu.ops.retrieval import recall_at_k
+from vtc_tpu.training.checkpoints import graft_params, load_checkpoint
+
+logging.getLogger().setLevel(logging.INFO)
+
+
+def add_irrelevant_comms(
+    comments: np.ndarray, num_irrelevant_comments: int, seed: int = 0
+) -> np.ndarray:
+    """Append comments randomly drawn from *other* batch elements
+    (``evaluation/eval.py:23-47``; the reference's early-return-in-loop bug —
+    only the first row was ever populated — is fixed here)."""
+    rng = np.random.default_rng(seed)
+    bs, ncomms, ntoks = comments.shape
+    total = ncomms + num_irrelevant_comments
+    updated = np.zeros((bs, total, ntoks), dtype=comments.dtype)
+    for i in range(bs):
+        new_comms = []
+        comm_indices = rng.integers(0, ncomms, size=num_irrelevant_comments)
+        for comm_ind in comm_indices:
+            batch_ind = int(rng.integers(0, bs))
+            if batch_ind == i:
+                batch_ind = (batch_ind + 1) % bs
+            new_comms.append(comments[batch_ind, comm_ind])
+        updated[i] = np.concatenate([comments[i], np.stack(new_comms)], axis=0)
+    return updated
+
+
+def main(config: ConfigParser, args, checkpoint_path):
+    import jax.numpy as jnp
+
+    logger = config.get_logger("test")
+
+    dataset = config.init_obj("dataset", module_data, train=False, test=True)
+
+    arch_args = dict(config["arch"]["args"])
+    branch_to_adapt = arch_args.get("branch_to_adapt_val", None)
+    comment_fusion = arch_args.get("comment_fusion", None)
+    num_comms = config["dataset"]["args"].get("num_comms", None)
+    add_comments = config["dataset"]["args"]["add_comments"]
+    num_irrelevant_comments = args.num_irrelevant_comments
+
+    if branch_to_adapt is None:
+        if add_comments != "always":
+            exp_combo = "title_only"
+        else:
+            exp_combo = f"{comment_fusion}_{num_comms}_comms"
+    else:
+        exp_combo = f"adapted_{branch_to_adapt}_{num_comms}_comms"
+
+    if checkpoint_path is not None:
+        ckpt = Path(checkpoint_path)
+        save_path = f"{ckpt.absolute().as_posix()}_res_{exp_combo}.json"
+    else:
+        save_path = f"zero_shot_res_{comment_fusion}.json"
+    logging.info("Saving results to %s", save_path)
+
+    data_loader = DataLoader(
+        dataset, batch_size=config["batch_size"], num_workers=10, shuffle=False
+    )
+
+    module, variables = create_model(config["arch"]["type"], **arch_args)
+    if checkpoint_path is not None:
+        restored = load_checkpoint(checkpoint_path)
+        params, missing, unexpected = graft_params(
+            variables["params"], restored["params"], strict=False
+        )
+        assert not missing and not unexpected, (missing, unexpected)
+        variables = dict(variables)
+        variables["params"] = params
+        if restored.get("batch_stats"):
+            variables["batch_stats"], _, _ = graft_params(
+                variables.get("batch_stats", {}), restored["batch_stats"]
+            )
+    logger.info("Model: %s", config["arch"]["type"])
+
+    import jax
+
+    needs_comments = hasattr(module, "branch_to_adapt_val")
+
+    @jax.jit
+    def fwd(*data):
+        out = module.apply(variables, *data)
+        return out[0], out[1]
+
+    res_vis, res_text, ids = [], [], []
+    for items in data_loader:
+        *data, meta = items
+        data = [np.asarray(d) for d in data]
+        if num_irrelevant_comments and needs_comments:
+            assert num_irrelevant_comments <= config["batch_size"], (
+                "Number of irrelevant comments needs to be smaller than batch size."
+            )
+            data[2] = add_irrelevant_comms(data[2], num_irrelevant_comments)
+        feats_vis, feats_text = fwd(*[jnp.asarray(d) for d in data])
+        res_vis.append(np.asarray(feats_vis))
+        res_text.append(np.asarray(feats_text))
+        ids.extend(np.asarray(meta["id"]).tolist())
+
+    res_vis = np.concatenate(res_vis)
+    res_text = np.concatenate(res_text)
+
+    recall_title_from_im = recall_at_k(res_vis, res_text, [1, 5, 10])
+    recall_im_from_title = recall_at_k(res_text, res_vis, [1, 5, 10])
+
+    logging.info("Recall im from title: %s", recall_im_from_title)
+    logging.info("Recall title from im: %s", recall_title_from_im)
+
+    out = {
+        "R1_title_from_im": recall_title_from_im[0][1],
+        "R5_title_from_im": recall_title_from_im[1][1],
+        "R10_title_from_im": recall_title_from_im[2][1],
+        "R1_im_from_title": recall_im_from_title[0][1],
+        "R5_im_from_title": recall_im_from_title[1][1],
+        "R10_im_from_title": recall_im_from_title[2][1],
+    }
+    with open(save_path, "w") as f:
+        json.dump(out, f)
+    return out
+
+
+if __name__ == "__main__":
+    args = argparse.ArgumentParser(description="vtc_tpu evaluation")
+    args.add_argument("-c", "--config", default="configs/pretrained_clip.jsonc",
+                      type=str)
+    args.add_argument("-r", "--resume", default=None, type=str)
+    args.add_argument("-d", "--device", default=None, type=str)
+    args.add_argument("--num_irrelevant_comments", default=0, type=int)
+    options = [
+        CustomArgs(["--lr", "--learning_rate"], type=float, target="optimizer;args;lr"),
+        CustomArgs(["--bs", "--batch_size"], type=int, target="batch_size"),
+        CustomArgs(["--bv", "--branch_to_adapt_val"], type=str,
+                   target="arch;args;branch_to_adapt_val"),
+        CustomArgs(["--nc", "--num_comms"], type=int, target="dataset;args;num_comms"),
+        CustomArgs(["--am", "--comment_fusion"], type=str,
+                   target="arch;args;comment_fusion"),
+        CustomArgs(["--ac", "--add_comments"], type=str,
+                   target="dataset;args;add_comments"),
+    ]
+    config = ConfigParser.from_args(args, options)
+    args = args.parse_args()
+    main(config, args, config.resume)

@@ -1,0 +1,176 @@
+"""Training CLI — mirrors the reference's ``train.py`` surface
+(``/root/reference/train.py:211-280``): same config files, same flags, same
+``;``-path overrides; TPU-native execution underneath (mesh sharding instead
+of DataParallel, optax groups instead of torch param groups, Orbax
+checkpoints instead of .pth).
+"""
+
+import argparse
+import os
+import random
+
+import numpy as np
+
+from vtc_tpu import data as module_data
+from vtc_tpu.config import ConfigParser, CustomArgs
+from vtc_tpu.data import DataLoader
+from vtc_tpu.models import create_model
+from vtc_tpu.ops.losses import LOSSES
+from vtc_tpu.parallel.mesh import create_mesh
+from vtc_tpu.training.metrics import METRICS
+from vtc_tpu.training.optim import build_optimizer
+from vtc_tpu.training.trainer import Trainer
+
+try:
+    import wandb
+
+    _HAS_WANDB = True
+except ImportError:
+    _HAS_WANDB = False
+
+
+def _make_probe(config):
+    """Per-epoch MSRVTT full-val probe (``trainer/trainer.py:152-182``),
+    active when the MSRVTT root exists."""
+    root = config.get("msrvtt_root", "/data/MSRVTT")
+    if not os.path.exists(os.path.join(root, "train_val_videodatainfo.json")):
+        return None
+
+    from vtc_tpu.evaluation import retrieval_evaluation
+
+    def probe(trainer, branch_override=None):
+        outdf = retrieval_evaluation(
+            trainer.module,
+            {"params": trainer.state.params,
+             "batch_stats": trainer.state.batch_stats},
+            "MSRVTT_videos",
+            "full-val",
+            branch_override=branch_override,
+            data_roots={"MSRVTT": {"root": root}},
+        )
+        r10 = outdf.loc["R@10"].tolist()
+        return {"msrvtt_val_vtt": r10[0], "msrvtt_val_ttv": r10[1]}
+
+    return probe
+
+
+def main(config: ConfigParser):
+    seed_value = int(config.get("random_seed_value", 1023))
+    os.environ["PYTHONHASHSEED"] = str(seed_value)
+    random.seed(seed_value)
+    np.random.seed(seed_value)
+
+    logger = config.get_logger("train")
+
+    dataset = config.init_obj("dataset", module_data)
+    valid_dataset = config.init_obj("dataset", module_data, train=False)
+
+    data_loader = DataLoader(
+        dataset,
+        batch_size=config["batch_size"],
+        num_workers=config.get("num_workers", 4),
+        shuffle=True,
+        drop_last=True,
+        seed=seed_value,
+    )
+    valid_data_loader = DataLoader(
+        valid_dataset,
+        batch_size=config["batch_size"],
+        num_workers=config.get("num_workers", 4),
+        shuffle=False,
+        drop_last=True,
+    )
+
+    arch_cfg = config["arch"]
+    module, variables = create_model(
+        arch_cfg["type"], seed=seed_value, **dict(arch_cfg["args"])
+    )
+    logger.info("Model: %s", arch_cfg["type"])
+
+    # mesh: n_devices data-parallel x n_model tensor-parallel
+    # (config key n_gpu kept for config compatibility)
+    n_devices = int(config.get("n_devices", config.get("n_gpu", 1)) or 1)
+    n_model = int(config.get("n_model", 1))
+    mesh = None
+    import jax
+
+    if n_devices * n_model > 1 and len(jax.devices()) >= n_devices * n_model:
+        mesh = create_mesh(n_devices, n_model)
+        logger.info("Mesh: %s", mesh)
+
+    criterion = LOSSES[config["loss"]]
+    metrics = [
+        METRICS[met["type"]](**dict(met["args"])) for met in config["metrics"]
+    ]
+
+    tx = build_optimizer(
+        variables["params"],
+        config["optimizer"],
+        config.get("lr_scheduler"),
+        steps_per_epoch=len(data_loader),
+        fc_lr=config.get("fc_lr"),
+        time_lr=config.get("time_lr"),
+        adapter_lr=config.get("adapter_lr"),
+        branch_to_freeze=dict(arch_cfg["args"]).get("freeze", False),
+    )
+
+    trainer = Trainer(
+        module,
+        variables,
+        criterion,
+        metrics,
+        tx,
+        config=config,
+        data_loader=data_loader,
+        valid_data_loader=valid_data_loader,
+        mesh=mesh,
+        seed=seed_value,
+        probe_fn=_make_probe(config),
+        branch_to_adapt_val=None,
+        arch_name=arch_cfg["type"],
+    )
+    trainer.train()
+
+
+if __name__ == "__main__":
+    args = argparse.ArgumentParser(description="vtc_tpu training")
+    args.add_argument("-c", "--config", default=None, type=str,
+                      help="config file path (default: None)")
+    args.add_argument("-r", "--resume", default=None, type=str,
+                      help="path to latest checkpoint (default: None)")
+    args.add_argument("-d", "--device", default=None, type=str,
+                      help="number of devices (data axis) to use")
+
+    options = [
+        CustomArgs(["--lr", "--learning_rate"], type=float, target="optimizer;args;lr"),
+        CustomArgs(["--fc_lr"], type=float, target="fc_lr"),
+        CustomArgs(["--time_lr"], type=float, target="time_lr"),
+        CustomArgs(["--adapter_lr"], type=float, target="adapter_lr"),
+        CustomArgs(["--bs", "--batch_size"], type=int, target="batch_size"),
+        CustomArgs(["--n_gpu"], type=int, target="n_gpu"),
+        CustomArgs(["--n_devices"], type=int, target="n_devices"),
+        CustomArgs(["--n_model"], type=int, target="n_model"),
+        CustomArgs(["--b", "--branch_to_adapt"], type=str, target="arch;args;branch_to_adapt"),
+        CustomArgs(["--bv", "--branch_to_adapt_val"], type=str, target="arch;args;branch_to_adapt_val"),
+        CustomArgs(["--nc", "--num_comms"], type=int, target="dataset;args;num_comms"),
+        CustomArgs(["--nl", "--num_imlabels"], type=int, target="dataset;args;num_imlabels"),
+        CustomArgs(["--cached_vision_features"], type=str, target="dataset;args;cached_vision_features"),
+        CustomArgs(["--add_comments"], type=str, target="dataset;args;add_comments"),
+        CustomArgs(["--e", "--exp_name"], type=str, target="name"),
+        CustomArgs(["--freeze"], type=str, target="arch;args;freeze"),
+        CustomArgs(["--residual_activation"], type=str, target="arch;args;residual_activation"),
+        CustomArgs(["--comment_fusion"], type=str, target="arch;args;comment_fusion"),
+        CustomArgs(["--save_dir"], type=str, target="trainer;save_dir"),
+        CustomArgs(["--epochs"], type=int, target="trainer;epochs"),
+        CustomArgs(["--visual_device"], type=str, target="arch;args;visual_device"),
+        CustomArgs(["--random_seed_value"], type=int, target="random_seed_value"),
+    ]
+    config = ConfigParser.from_args(args, options)
+    _args = args.parse_args()
+
+    if _HAS_WANDB:
+        wandb.init(config=_args)
+        wandb.run.name = config["name"]
+        wandb.run.save()
+
+    main(config)

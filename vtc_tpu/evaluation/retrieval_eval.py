@@ -1,0 +1,281 @@
+"""Dataset-generic retrieval evaluation (MSRVTT / MSVD / K700 / Reddit /
+livebot) — the reference's ``evaluation/retrieval_evaluation.py:23-268``, also
+used as the trainer's per-epoch probe.
+
+Per video: subsample frames at ``frame_stride``, split into 8-frame chunks
+(linspace-padding the tail, ``:174-199``), synthesize per-caption dummy or
+real comment tensors (``:203-229``), forward, mean-pool chunk embeddings per
+video (``:254-259``), pad ragged caption sets with -inf (``:239-252``), and
+compute bidirectional R@1/5/10.
+
+TPU discipline for the ragged shapes: chunk and caption counts are padded to
+power-of-two buckets with masks, so jit compiles a handful of shapes instead
+of one per video.
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from ..data import tokenizer as tk
+from ..ops.retrieval import recall_at_k
+
+logger = logging.getLogger(__name__)
+
+N_COMMENTS = 5
+NFRAMES = 8
+
+
+def compute_recall(tensor_v, tensor_t, split="full-test", dataset_name="MSRVTT"):
+    """Bidirectional R@1/5/10 DataFrame (``retrieval_evaluation.py:23-47``)."""
+    recall_range = [1, 5, 10]
+    vtr = np.array(
+        [r for _, r in recall_at_k(tensor_v, tensor_t, recall_range)]
+    ) * 100.0
+    tvr = np.array(
+        [r for _, r in recall_at_k(tensor_t, tensor_v, recall_range)]
+    ) * 100.0
+    df = pd.DataFrame(
+        {
+            f"{dataset_name} {split} split Video to Text": tvr,
+            f"{dataset_name} {split} split Text to Video": vtr,
+        },
+        index=[f"R@{i}" for i in recall_range],
+    )
+    logger.info("%s", df)
+    return df
+
+
+def _bucket(n: int, minimum: int = 1) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+def chunk_frames(frames: np.ndarray, frame_stride: int, nframes: int = NFRAMES):
+    """[t, c, h, w] -> [nchunks, nframes, c, h, w] with linspace-padded tail
+    (``retrieval_evaluation.py:174-198``)."""
+    frames = frames[::frame_stride]
+    t = frames.shape[0]
+    chunks = []
+    for s in range(0, t, nframes):
+        x = frames[s : s + nframes]
+        if x.shape[0] != nframes:
+            idx = np.floor(np.linspace(0, x.shape[0] - 1, nframes)).astype(np.int64)
+            x = x[idx]
+        chunks.append(x)
+    return np.stack(chunks)
+
+
+def make_eval_forward(module, variables, branch_override: Optional[str]):
+    """Bucketed, jit-compiled forward: (frames[nchunk_b, 8, ...],
+    captions[ncap_b, 77], comments[nc, 5, 77]) -> (feats_vis, feats_text)."""
+
+    @partial(jax.jit, static_argnames=("needs_comments",))
+    def fwd(frames, captions, comments, needs_comments):
+        if needs_comments:
+            out = module.apply(
+                variables, frames, captions, comments,
+                branch_override=branch_override,
+            )
+        else:
+            out = module.apply(variables, frames, captions)
+        return out[0], out[1]
+
+    return fwd
+
+
+def retrieval_evaluation(
+    module,
+    variables,
+    datasetname: str,
+    split: str,
+    out_csv: Optional[str] = None,
+    frame_stride: int = 16,
+    first_frame_only: bool = False,
+    first_chunk_only: bool = False,
+    branch_override: Optional[str] = None,
+    needs_comments: Optional[bool] = None,
+    dataset=None,
+    data_roots: Optional[dict] = None,
+):
+    """Evaluate a model on a transfer dataset; returns the recall DataFrame."""
+    from .. import data as module_data
+
+    data_roots = data_roots or {}
+    if dataset is None:
+        if datasetname == "MSRVTT_videos":
+            dataset = module_data.VideoDatasetMSRVTT(
+                train=False, split=split, **data_roots.get("MSRVTT", {})
+            )
+        elif datasetname == "MSVD_videos":
+            dataset = module_data.VideoDatasetMSVD(
+                train=False, split=split, **data_roots.get("MSVD", {})
+            )
+        elif datasetname == "K700_videos":
+            dataset = module_data.VideoDatasetK700Comments(
+                train=False, split=split, **data_roots.get("K700", {})
+            )
+        elif datasetname == "Reddit_videos":
+            dataset = module_data.VideoDatasetReddit(
+                train=False, split=split, **data_roots.get("Reddit", {})
+            )
+        elif datasetname == "livebot":
+            dataset = module_data.VideoDatasetLivebot(
+                train=False, split=split, **data_roots.get("livebot", {})
+            )
+        else:
+            raise ValueError("Unknown dataset")
+
+    if needs_comments is None:
+        needs_comments = hasattr(module, "branch_to_adapt_val")
+    is_video_model = True  # every exported retrieval model accepts chunks
+
+    fwd = make_eval_forward(module, variables, branch_override)
+
+    video_embs = []
+    caption_embs = []
+    logger.info("Computing joint embeddings")
+
+    empty_comment = tk.tokenize([""] * N_COMMENTS)
+
+    for idx in range(len(dataset)):
+        item = dataset[idx]
+        if len(item) == 3:
+            frames, captions, _ = item
+            comments = None
+        else:
+            frames, captions, comments, _ = item
+        if frames is None:
+            continue
+        captions = np.asarray(captions)
+        assert captions.ndim == 2
+
+        if first_frame_only:
+            # single frame as a 1-image batch (4-D image path,
+            # retrieval_evaluation.py:165-172)
+            chunks = np.asarray(frames)[0:1]
+            assert not first_chunk_only
+        elif is_video_model:
+            chunks = chunk_frames(np.asarray(frames), frame_stride)
+            if first_chunk_only:
+                chunks = chunks[0:1]
+        ncap = captions.shape[0]
+        nchunk = chunks.shape[0]
+
+        if needs_comments:
+            branch = (
+                branch_override
+                if branch_override is not None
+                else getattr(module, "branch_to_adapt_val", "text")
+            )
+            ncomms_rows = nchunk if branch == "image" else ncap
+            if comments is None:
+                comm = np.tile(empty_comment[None], (ncomms_rows, 1, 1))
+            else:
+                comments = np.asarray(comments)[:N_COMMENTS]
+                comm = np.tile(comments[None], (ncomms_rows, 1, 1))
+        else:
+            comm = None
+
+        # bucket + mask for stable jit shapes
+        cb = _bucket(nchunk)
+        kb = _bucket(ncap)
+        chunks_p = np.concatenate(
+            [chunks, np.repeat(chunks[-1:], cb - nchunk, axis=0)]
+        ) if cb > nchunk else chunks
+        captions_p = np.concatenate(
+            [captions, np.repeat(captions[-1:], kb - ncap, axis=0)]
+        ) if kb > ncap else captions
+        if comm is not None:
+            rows = cb if (needs_comments and ncomms_rows == nchunk) else kb
+            if comm.shape[0] < rows:
+                comm = np.concatenate(
+                    [comm, np.repeat(comm[-1:], rows - comm.shape[0], axis=0)]
+                )
+
+        fv, ft = fwd(
+            jnp.asarray(chunks_p), jnp.asarray(captions_p),
+            jnp.asarray(comm) if comm is not None else jnp.zeros(
+                (captions_p.shape[0], N_COMMENTS, 77), jnp.int32
+            ),
+            needs_comments,
+        )
+        video_embs.append(np.asarray(fv)[:nchunk])
+        caption_embs.append(np.asarray(ft)[:ncap])
+
+    # mean over chunk embeddings per video; pad ragged caption sets with -inf
+    max_len = max(c.shape[0] for c in caption_embs)
+    padded_captions = [
+        np.concatenate(
+            [c, np.full((max_len - c.shape[0], c.shape[1]), -np.inf, np.float32)]
+        )
+        for c in caption_embs
+    ]
+    video_tensor = np.stack([v.mean(axis=0) for v in video_embs])
+    caption_tensor = np.stack(padded_captions)
+
+    # for recall, use the first (real) caption per video when ragged; the
+    # reference feeds the full padded tensor to FAISS which only works for
+    # 1-caption splits (documented defect) — here every real caption counts:
+    # query = each caption, target = its video
+    flat_caps = []
+    flat_targets = []
+    for vi, c in enumerate(caption_embs):
+        flat_caps.append(c)
+        flat_targets.extend([vi] * c.shape[0])
+    flat_caps = np.concatenate(flat_caps)
+    flat_targets = np.asarray(flat_targets)
+
+    if max_len == 1:
+        outdf = compute_recall(
+            video_tensor, caption_tensor[:, 0], split=split,
+            dataset_name=datasetname,
+        )
+    else:
+        from ..ops.retrieval import recall_at_k as _rk
+
+        recall_range = [1, 5, 10]
+        tvr = np.array(
+            [r for _, r in _rk(video_tensor, flat_caps, recall_range,
+                               targets=flat_targets)]
+        ) * 100.0
+        # video->text: rank captions, a video hits if any of its captions is
+        # retrieved in top-k
+        vt_hits = _vt_recall(video_tensor, flat_caps, flat_targets, recall_range)
+        outdf = pd.DataFrame(
+            {
+                f"{datasetname} {split} split Video to Text": vt_hits * 100.0,
+                f"{datasetname} {split} split Text to Video": tvr,
+            },
+            index=[f"R@{i}" for i in recall_range],
+        )
+        logger.info("%s", outdf)
+
+    if out_csv is not None:
+        outdf.to_csv(out_csv)
+    return outdf
+
+
+def _vt_recall(videos, captions, cap_video_idx, k_vals):
+    """Video->text recall over a flattened caption gallery: a video scores a
+    hit at k if any of its own captions appears in its top-k."""
+    v = jnp.asarray(videos, jnp.float32)
+    c = jnp.asarray(captions, jnp.float32)
+    scores = jnp.matmul(v, c.T, preferred_element_type=jnp.float32)
+    scores = jnp.where(jnp.isfinite(scores), scores, -jnp.inf)
+    max_k = int(max(k_vals))
+    _, idx = jax.lax.top_k(scores, min(max_k, c.shape[0]))
+    idx = np.asarray(idx)
+    owner = np.asarray(cap_video_idx)[idx]  # [nvid, max_k]
+    hits = owner == np.arange(videos.shape[0])[:, None]
+    cum = np.cumsum(hits, axis=-1) > 0
+    return np.array([cum[:, min(k, cum.shape[1]) - 1].mean() for k in k_vals])
