@@ -1,0 +1,117 @@
+"""Mesh / sharding tests on the 8-device virtual CPU mesh: TP param specs,
+dp+tp train step parity with single-device, and the graft-entry dryrun."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from vtc_tpu.models import create_model
+from vtc_tpu.ops.losses import clip_loss
+from vtc_tpu.parallel.mesh import (
+    DATA_AXIS,
+    create_mesh,
+    param_pspec,
+    tree_shardings,
+)
+from vtc_tpu.training.optim import build_optimizer
+from vtc_tpu.training.trainer import TrainState, make_step_fns
+
+TINY = "test-tiny"
+
+
+def test_param_pspec_rules():
+    assert param_pspec(
+        "clip/visual/transformer/resblocks_0/attn/in_proj_weight"
+    ) == P("model", None)
+    assert param_pspec("clip/visual/transformer/resblocks_0/mlp/c_fc/kernel") == P(
+        None, "model"
+    )
+    assert param_pspec("clip/visual/transformer/resblocks_0/mlp/c_proj/kernel") == P(
+        "model", None
+    )
+    assert param_pspec("clip/text/token_embedding") == P("model", None)
+    assert param_pspec("clip/visual/ln_pre/scale") == P()
+    assert param_pspec("clip/logit_scale") == P()
+
+
+def _data(batch=8, seed=0):
+    rng = np.random.default_rng(seed)
+    vis = rng.normal(size=(batch, 3, 32, 32)).astype(np.float32)
+    title = rng.integers(1, 49405, size=(batch, 77)).astype(np.int32)
+    comments = rng.integers(1, 49405, size=(batch, 2, 77)).astype(np.int32)
+    return vis, title, comments
+
+
+def test_sharded_train_step_matches_single_device():
+    """One dp=4 x tp=2 training step must produce the same loss and params
+    as the unsharded step (GSPMD correctness of our shardings)."""
+    module, variables = create_model(
+        "PretrainedCLIP_finaltf", model_type=TINY, seed=0,
+        random_skip_adapter=False,
+    )
+    tx = build_optimizer(
+        variables["params"], {"type": "Adam", "args": {"lr": 1e-2}}, None, 1
+    )
+    train_step, _ = make_step_fns(module, clip_loss, tx, donate=False)
+
+    def make_state(params):
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=tx.init(params),
+            batch_stats=variables.get("batch_stats", {}),
+        )
+
+    vis, title, comments = _data()
+    rng = jax.random.PRNGKey(7)
+
+    # single device
+    state1 = make_state(variables["params"])
+    new1, loss1, _ = train_step(
+        state1, (jnp.asarray(vis), jnp.asarray(title), jnp.asarray(comments)),
+        {}, rng,
+    )
+
+    # dp=4 x tp=2
+    mesh = create_mesh(4, 2)
+    shardings = tree_shardings(variables["params"], mesh)
+    params = jax.device_put(variables["params"], shardings)
+    state2 = make_state(params)
+    ds = NamedSharding(mesh, P(DATA_AXIS))
+    with mesh:
+        new2, loss2, _ = train_step(
+            state2,
+            (
+                jax.device_put(vis, ds),
+                jax.device_put(title, ds),
+                jax.device_put(comments, ds),
+            ),
+            {},
+            rng,
+        )
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=2e-5)
+    p1 = np.asarray(jax.device_get(new1.params["cam"]["final_linear"]))
+    p2 = np.asarray(jax.device_get(new2.params["cam"]["final_linear"]))
+    np.testing.assert_allclose(p1, p2, atol=1e-5)
+
+
+def test_graft_entry_dryrun():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_entry_compiles_tiny():
+    """entry() builds the full ViT-B/32 model — too heavy for unit tests —
+    so compile-check the same forward at the tiny variant here."""
+    module, variables = create_model("PretrainedCLIP_finaltf", model_type=TINY)
+    vis, title, comments = _data(4)
+
+    fn = jax.jit(
+        lambda v, t, c: module.apply(variables, v, t, c)[2]
+    )
+    sim = fn(jnp.asarray(vis), jnp.asarray(title), jnp.asarray(comments))
+    assert sim.shape == (4, 4)
+    assert np.isfinite(np.asarray(sim)).all()

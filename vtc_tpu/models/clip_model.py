@@ -151,7 +151,10 @@ class TextTransformer(nn.Module):
             jnp.float32,
         )
 
-        x = token_embedding[text].astype(self.dtype)
+        # jnp.take handles numpy-backed params indexed by traced token ids
+        x = jnp.take(
+            jnp.asarray(token_embedding), text, axis=0
+        ).astype(self.dtype)
         x = x + positional_embedding[: text.shape[-1]].astype(self.dtype)
         mask = causal_mask(text.shape[-1])
         x = Transformer(
