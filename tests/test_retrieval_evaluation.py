@@ -1,0 +1,144 @@
+"""Transfer-eval path tests with a synthetic in-memory dataset: chunking
+semantics, ragged captions, comment synthesis, adapter-skip probe."""
+
+import numpy as np
+import pytest
+
+from vtc_tpu.data import tokenizer as tk
+from vtc_tpu.evaluation.retrieval_eval import (
+    chunk_frames,
+    compute_recall,
+    retrieval_evaluation,
+)
+from vtc_tpu.models import create_model
+
+TINY = "test-tiny"
+RES = 32
+
+
+def test_chunk_frames_stride_and_tail_padding():
+    t = 70
+    frames = np.arange(t, dtype=np.float32)[:, None, None, None] * np.ones(
+        (t, 3, 4, 4), np.float32
+    )
+    chunks = chunk_frames(frames, frame_stride=4, nframes=8)
+    # 70 frames / stride 4 = 18 kept -> chunks of 8, 8, 2->linspace-padded 8
+    assert chunks.shape == (3, 8, 3, 4, 4)
+    np.testing.assert_array_equal(
+        chunks[0, :, 0, 0, 0], np.arange(0, 32, 4, dtype=np.float32)
+    )
+    # tail chunk: 2 real frames linspace-repeated to 8
+    tail = chunks[2, :, 0, 0, 0]
+    assert set(tail.tolist()) == {64.0, 68.0}
+
+
+class _SyntheticVideoDataset:
+    """(frames, captions, comments, id) items: frames engineered so each
+    video is closest to its own captions."""
+
+    def __init__(self, n=6, ncap=1, with_comments=True, seed=0):
+        self.n = n
+        self.ncap = ncap
+        self.with_comments = with_comments
+        rng = np.random.default_rng(seed)
+        self.frames = [
+            rng.normal(size=(24, 3, RES, RES)).astype(np.float32) for _ in range(n)
+        ]
+        self.texts = [[f"unique video number {i} topic {i}"] * ncap for i in range(n)]
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        caps = tk.tokenize(self.texts[i])
+        if self.with_comments:
+            comments = tk.tokenize([f"comment about {i}", "more text"])
+            return self.frames[i], caps, comments, {}
+        return self.frames[i], caps, str(i)
+
+
+@pytest.fixture(scope="module")
+def cam_model():
+    return create_model("PretrainedCLIP_finaltf", model_type=TINY, seed=0)
+
+
+def test_retrieval_evaluation_cam_model(cam_model):
+    module, variables = cam_model
+    ds = _SyntheticVideoDataset(n=6, with_comments=True)
+    outdf = retrieval_evaluation(
+        module, variables, "synthetic", "test", dataset=ds, frame_stride=4
+    )
+    assert list(outdf.index) == ["R@1", "R@5", "R@10"]
+    assert outdf.shape == (3, 2)
+    vals = outdf.to_numpy()
+    assert ((0 <= vals) & (vals <= 100)).all()
+    # R@K monotone in K
+    assert (np.diff(vals, axis=0) >= 0).all()
+
+
+def test_retrieval_evaluation_skip_equals_plain(cam_model):
+    """branch_override='skip' must match the plain CLIP model on the same
+    weights (the trainer's skip-probe invariant)."""
+    module, variables = cam_model
+    ds = _SyntheticVideoDataset(n=5, with_comments=True, seed=1)
+    df_skip = retrieval_evaluation(
+        module, variables, "synthetic", "test", dataset=ds, frame_stride=4,
+        branch_override="skip",
+    )
+
+    plain_module, plain_vars = create_model("PretrainedCLIP", model_type=TINY)
+    import jax
+
+    pv = jax.tree_util.tree_map(np.asarray, plain_vars)
+    pv["params"]["clip"] = variables["params"]["clip"]
+    ds2 = _SyntheticVideoDataset(n=5, with_comments=False, seed=1)
+    df_plain = retrieval_evaluation(
+        plain_module, pv, "synthetic", "test", dataset=ds2, frame_stride=4,
+        needs_comments=False,
+    )
+    np.testing.assert_allclose(df_skip.to_numpy(), df_plain.to_numpy(), atol=1e-4)
+
+
+def test_retrieval_evaluation_multi_caption_ragged(cam_model):
+    """Videos with different caption counts: ragged captions are padded and
+    every real caption counts as a query."""
+    module, variables = cam_model
+
+    class RaggedDS(_SyntheticVideoDataset):
+        def __getitem__(self, i):
+            ncap = 1 + (i % 3)
+            caps = tk.tokenize(
+                [f"unique video number {i} caption {j}" for j in range(ncap)]
+            )
+            comments = tk.tokenize(["a comment"])
+            return self.frames[i], caps, comments, {}
+
+    ds = RaggedDS(n=6)
+    outdf = retrieval_evaluation(
+        module, variables, "synthetic", "test", dataset=ds, frame_stride=4
+    )
+    assert outdf.shape == (3, 2)
+    assert np.isfinite(outdf.to_numpy()).all()
+
+
+def test_first_frame_and_first_chunk_modes(cam_model):
+    module, variables = cam_model
+    ds = _SyntheticVideoDataset(n=4)
+    df_ff = retrieval_evaluation(
+        module, variables, "synthetic", "test", dataset=ds,
+        first_frame_only=True,
+    )
+    df_fc = retrieval_evaluation(
+        module, variables, "synthetic", "test", dataset=ds, frame_stride=4,
+        first_chunk_only=True,
+    )
+    assert np.isfinite(df_ff.to_numpy()).all()
+    assert np.isfinite(df_fc.to_numpy()).all()
+
+
+def test_compute_recall_dataframe():
+    rng = np.random.default_rng(0)
+    v = rng.normal(size=(10, 8)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=-1, keepdims=True)
+    df = compute_recall(v, v + 0.001 * rng.normal(size=v.shape).astype(np.float32))
+    assert df.loc["R@1"].tolist() == [100.0, 100.0]
