@@ -283,7 +283,12 @@ class PretrainedCLIP_finaltf(_CamRetrievalBase):
         self.clip = ClipModel(variant=self.variant, dtype=self.dtype)
         self.cam = self._make_cam()
         if self.init_audio_model:
-            self.audio_mlp = MLP(dtype=self.dtype, name="audio_mlp")
+            # GDT clip embeddings (512-d) -> CLIP feature space
+            # (model/model.py:438: MLP(512, 512) for ViT-B/32)
+            self.audio_mlp = MLP(
+                num_classes=self.feature_dim, num_features=512,
+                dtype=self.dtype, name="audio_mlp",
+            )
 
     def __call__(
         self,
