@@ -125,7 +125,13 @@ def test_cam_audio_fusion_path():
 
     fv, ft, sim = module.apply(variables, vis, title, comments, audio)
     assert sim.shape == (2, 2)
-    # audio actually influences the adapted branch
-    fv2, ft2, _ = module.apply(variables, vis, title, comments, audio * 2.0)
+    # audio influences only the adapted (text) branch; note pure scaling is
+    # absorbed: the zero-bias-init MLP is positively homogeneous and CAM
+    # L2-normalizes each stack entry, so use *different* audio instead
+    audio2 = jnp.asarray(rng.normal(size=(2, 5, 512)).astype(np.float32))
+    fv2, ft2, _ = module.apply(variables, vis, title, comments, audio2)
     assert not np.allclose(np.asarray(ft), np.asarray(ft2), atol=1e-5)
     np.testing.assert_allclose(np.asarray(fv), np.asarray(fv2), atol=1e-6)
+    # audio presence itself changes the adapted branch
+    _, ft_noaudio, _ = module.apply(variables, vis, title, comments)
+    assert not np.allclose(np.asarray(ft), np.asarray(ft_noaudio), atol=1e-5)
