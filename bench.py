@@ -25,6 +25,7 @@ CACHE = Path(__file__).parent / ".bench_cpu_baseline.json"
 
 BENCH_CODE = r"""
 import json, time
+from functools import partial
 import numpy as np
 
 def run(batch, iters, warmup, dtype_name):
@@ -37,23 +38,27 @@ def run(batch, iters, warmup, dtype_name):
         "PretrainedCLIP_finaltf", model_type="ViT-B/32", seed=0, dtype=dtype
     )
 
+    # loop `iters` forwards inside ONE jitted program so host<->device
+    # dispatch overhead (large on tunneled dev backends) doesn't pollute the
+    # device-throughput measurement; a data dependency prevents DCE.
     @jax.jit
-    def fwd(vis, title, comments):
-        feats_vis, feats_text, sim = module.apply(variables, vis, title, comments)
-        return feats_vis, feats_text
+    def fwd_n(vis, title, comments, n):
+        def body(i, carry):
+            v = vis + carry * 1e-12  # consume carry: keeps iterations ordered
+            feats_vis, feats_text, sim = module.apply(variables, v, title, comments)
+            return jnp.sum(sim).astype(vis.dtype)
+
+        # dynamic loop bound: warmup and timed calls share one executable
+        return jax.lax.fori_loop(0, n, body, jnp.zeros((), vis.dtype))
 
     rng = np.random.default_rng(0)
     vis = jnp.asarray(rng.normal(size=(batch, 3, 224, 224)).astype(np.float32))
     title = jnp.asarray(rng.integers(1, 49405, size=(batch, 77)).astype(np.int32))
     comments = jnp.asarray(rng.integers(1, 49405, size=(batch, 5, 77)).astype(np.int32))
 
-    for _ in range(warmup):
-        out = fwd(vis, title, comments)
-        jax.block_until_ready(out)
+    jax.block_until_ready(fwd_n(vis, title, comments, jnp.int32(warmup)))
     tic = time.perf_counter()
-    for _ in range(iters):
-        out = fwd(vis, title, comments)
-        jax.block_until_ready(out)
+    jax.block_until_ready(fwd_n(vis, title, comments, jnp.int32(iters)))
     dt = time.perf_counter() - tic
     return batch * iters / dt
 """

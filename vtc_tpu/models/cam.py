@@ -203,18 +203,19 @@ def zero_init_cam_params(cam_params: dict, n_layers: int, init_from_avg: bool):
     with ``init_from_avg`` the adapter starts as an exact average (c_proj and
     attn.out_proj zeroed per block); ``final_linear`` starts at zero so the
     non-avg head starts as the identity residual."""
-    import numpy as np
-
-    p = jax.tree_util.tree_map(np.asarray, cam_params)
+    # structural copy, leaves untouched (and kept on device — no host sync)
+    p = jax.tree_util.tree_map(lambda x: x, cam_params)
     if init_from_avg:
         for i in range(int(n_layers)):
             blk = p["final_transformer"][f"resblocks_{i}"]
-            blk["mlp"]["c_proj"]["kernel"] = np.zeros_like(
+            blk["mlp"]["c_proj"]["kernel"] = jnp.zeros_like(
                 blk["mlp"]["c_proj"]["kernel"]
             )
-            blk["mlp"]["c_proj"]["bias"] = np.zeros_like(blk["mlp"]["c_proj"]["bias"])
-            blk["attn"]["out_proj"]["kernel"] = np.zeros_like(
+            blk["mlp"]["c_proj"]["bias"] = jnp.zeros_like(
+                blk["mlp"]["c_proj"]["bias"]
+            )
+            blk["attn"]["out_proj"]["kernel"] = jnp.zeros_like(
                 blk["attn"]["out_proj"]["kernel"]
             )
-    p["final_linear"] = np.zeros_like(p["final_linear"])
+    p["final_linear"] = jnp.zeros_like(p["final_linear"])
     return p

@@ -105,8 +105,11 @@ def create_model(
         "comment_mask": jax.random.PRNGKey(seed + 2),
         "dropout": jax.random.PRNGKey(seed + 3),
     }
-    variables = module.init(rngs, *_dummy_inputs(arch, module))
-    variables = jax.tree_util.tree_map(np.asarray, variables)
+    # jit the whole init: one compiled program instead of eager op-by-op,
+    # and keep the tree on device (per-leaf host pulls are expensive on
+    # remote TPU backends)
+    variables = jax.jit(module.init)(rngs, *_dummy_inputs(arch, module))
+    variables = dict(variables)
     params = dict(variables["params"])
 
     weights_path = find_clip_weights(
