@@ -16,11 +16,24 @@ in fp32 even when activations are bf16.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+
+def use_fused_attention() -> bool:
+    """Whether the Pallas fused-attention kernel should run: forced by
+    ``VTC_FUSED_ATTENTION=1/0``, otherwise auto (TPU backend only)."""
+    flag = os.environ.get("VTC_FUSED_ATTENTION")
+    if flag is not None:
+        return flag == "1"
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:  # backend not initialized yet
+        return False
 
 
 def quick_gelu(x):
@@ -90,13 +103,22 @@ class MultiHeadAttention(nn.Module):
         k = heads(k)
         v = heads(v)
 
-        logits = jnp.matmul(
-            q, jnp.swapaxes(k, -1, -2), preferred_element_type=jnp.float32
-        )
-        if mask is not None:
-            logits = logits + mask
-        attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-        out = _dot(attn, v)  # [..., H, L, Dh]
+        if use_fused_attention():
+            from ..ops.pallas_attention import fused_attention
+
+            batch_shape = q.shape[:-2]
+            L = q.shape[-2]
+            flat = lambda t: t.reshape((-1, L, head_dim))  # noqa: E731
+            out = fused_attention(flat(q), flat(k), flat(v), mask, 1.0)
+            out = out.reshape(batch_shape + (L, head_dim))
+        else:
+            logits = jnp.matmul(
+                q, jnp.swapaxes(k, -1, -2), preferred_element_type=jnp.float32
+            )
+            if mask is not None:
+                logits = logits + mask
+            attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+            out = _dot(attn, v)  # [..., H, L, Dh]
         out = jnp.moveaxis(out, -3, -2)
         out = out.reshape(out.shape[:-2] + (e,))
 
