@@ -41,8 +41,10 @@ def run(batch, iters, warmup, dtype_name):
     # loop `iters` forwards inside ONE jitted program so host<->device
     # dispatch overhead (large on tunneled dev backends) doesn't pollute the
     # device-throughput measurement; a data dependency prevents DCE.
+    # `variables` is a jit ARGUMENT — closing over the weights would embed
+    # 151M parameters as HLO constants and blow up compilation.
     @jax.jit
-    def fwd_n(vis, title, comments, n):
+    def fwd_n(variables, vis, title, comments, n):
         def body(i, carry):
             v = vis + carry * 1e-12  # consume carry: keeps iterations ordered
             feats_vis, feats_text, sim = module.apply(variables, v, title, comments)
@@ -56,9 +58,9 @@ def run(batch, iters, warmup, dtype_name):
     title = jnp.asarray(rng.integers(1, 49405, size=(batch, 77)).astype(np.int32))
     comments = jnp.asarray(rng.integers(1, 49405, size=(batch, 5, 77)).astype(np.int32))
 
-    jax.block_until_ready(fwd_n(vis, title, comments, jnp.int32(warmup)))
+    jax.block_until_ready(fwd_n(variables, vis, title, comments, jnp.int32(warmup)))
     tic = time.perf_counter()
-    jax.block_until_ready(fwd_n(vis, title, comments, jnp.int32(iters)))
+    jax.block_until_ready(fwd_n(variables, vis, title, comments, jnp.int32(iters)))
     dt = time.perf_counter() - tic
     return batch * iters / dt
 """

@@ -102,9 +102,12 @@ def main(config: ConfigParser, args, checkpoint_path):
     needs_comments = hasattr(module, "branch_to_adapt_val")
 
     @jax.jit
-    def fwd(*data):
+    def _fwd(variables, *data):
         out = module.apply(variables, *data)
         return out[0], out[1]
+
+    def fwd(*data):
+        return _fwd(variables, *data)
 
     res_vis, res_text, ids = [], [], []
     for items in data_loader:

@@ -51,11 +51,14 @@ def main():
         print("warning: random audio-tower init (no --gdt_weights given)")
 
     @jax.jit
-    def encode(spectrograms):  # [b, nclips, 257, 199]
+    def _encode(variables, spectrograms):  # [b, nclips, 257, 199]
         b, c = spectrograms.shape[:2]
         x = spectrograms.reshape(b * c, 1, 257, 199)
         y = model.apply(variables, x)
         return y.reshape(b, c, -1)
+
+    def encode(spectrograms):
+        return _encode(variables, spectrograms)
 
     df = pd.read_csv(args.csv)
     files = [x[len("results/"):-4] + ".mp4" for x in df.video_path]

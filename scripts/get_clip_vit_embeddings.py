@@ -53,10 +53,13 @@ def main():
     mesh = create_mesh() if len(jax.devices()) > 1 else None
 
     @jax.jit
-    def encode(imgs):
+    def _encode(variables, imgs):
         return module.apply(
             variables, imgs, method="encode_image"
         ).astype(jnp.float32)
+
+    def encode(imgs):
+        return _encode(variables, imgs)
 
     class DS:
         def __len__(self):

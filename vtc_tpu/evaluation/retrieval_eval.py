@@ -77,10 +77,12 @@ def chunk_frames(frames: np.ndarray, frame_stride: int, nframes: int = NFRAMES):
 
 def make_eval_forward(module, variables, branch_override: Optional[str]):
     """Bucketed, jit-compiled forward: (frames[nchunk_b, 8, ...],
-    captions[ncap_b, 77], comments[nc, 5, 77]) -> (feats_vis, feats_text)."""
+    captions[ncap_b, 77], comments[nc, 5, 77]) -> (feats_vis, feats_text).
+
+    Params are jit arguments (closures would bake them into the HLO)."""
 
     @partial(jax.jit, static_argnames=("needs_comments",))
-    def fwd(frames, captions, comments, needs_comments):
+    def fwd(variables, frames, captions, comments, needs_comments):
         if needs_comments:
             out = module.apply(
                 variables, frames, captions, comments,
@@ -90,7 +92,7 @@ def make_eval_forward(module, variables, branch_override: Optional[str]):
             out = module.apply(variables, frames, captions)
         return out[0], out[1]
 
-    return fwd
+    return partial(fwd, variables)
 
 
 def retrieval_evaluation(
