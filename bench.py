@@ -58,9 +58,11 @@ def run(batch, iters, warmup, dtype_name):
     title = jnp.asarray(rng.integers(1, 49405, size=(batch, 77)).astype(np.int32))
     comments = jnp.asarray(rng.integers(1, 49405, size=(batch, 5, 77)).astype(np.int32))
 
-    jax.block_until_ready(fwd_n(variables, vis, title, comments, jnp.int32(warmup)))
+    # synchronize via an explicit host transfer: block_until_ready is not
+    # reliable on all experimental PJRT backends
+    float(fwd_n(variables, vis, title, comments, jnp.int32(warmup)))
     tic = time.perf_counter()
-    jax.block_until_ready(fwd_n(variables, vis, title, comments, jnp.int32(iters)))
+    float(fwd_n(variables, vis, title, comments, jnp.int32(iters)))
     dt = time.perf_counter() - tic
     return batch * iters / dt
 """

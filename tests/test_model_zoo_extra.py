@@ -1,0 +1,84 @@
+"""R(2+1)D-34 backbone and the joint-layout TimeSformer variant."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vtc_tpu.models.clip_model import CLIP_VARIANTS, VisionTransformer
+from vtc_tpu.models.r2plus1d import R2Plus1D_34_IG65M_32frames, _midplanes
+from vtc_tpu.models.timesformer_joint import (
+    TimeSformerJoint,
+    joint_timesformer_params_from_clip_visual,
+)
+
+TINY = CLIP_VARIANTS["test-tiny"]
+RES = 32
+NF = 4
+
+
+def test_r2plus1d_midplanes_matches_torchvision_rule():
+    # torchvision Conv2Plus1D midplanes for the first 64->64 block is 144
+    assert _midplanes(64, 64) == (64 * 64 * 27) // (64 * 9 + 3 * 64)
+
+
+def test_r2plus1d_forward_shape():
+    model = R2Plus1D_34_IG65M_32frames()
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1, 3, 8, 64, 64)).astype(np.float32)
+    )
+    variables = model.init(jax.random.PRNGKey(0), x)
+    y = model.apply(variables, x)
+    assert y.shape == (1, 512)
+    assert np.isfinite(np.asarray(y)).all()
+
+    # pooling modes
+    model_max = R2Plus1D_34_IG65M_32frames(pool_spatial="max", pool_temporal="max")
+    y2 = model_max.apply(variables, x)
+    assert y2.shape == (1, 512)
+    assert not np.allclose(np.asarray(y), np.asarray(y2))
+
+
+def test_joint_timesformer_time_attention_noop_at_init():
+    """With the surgery init, TimeAttention is an exact no-op, so the joint
+    model must match itself with the time path ablated."""
+    vit = VisionTransformer(variant=TINY)
+    vit_params = vit.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, RES, RES)))[
+        "params"
+    ]
+    tsf = TimeSformerJoint(variant=TINY, nframes=NF)
+    params = joint_timesformer_params_from_clip_visual(vit_params, TINY, NF)
+
+    fresh = tsf.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, NF, 3, RES, RES))
+    )["params"]
+    ref_shapes = jax.tree_util.tree_map(lambda x: x.shape, fresh)
+    got_shapes = jax.tree_util.tree_map(lambda x: np.asarray(x).shape, params)
+    assert ref_shapes == got_shapes
+
+    rng = np.random.default_rng(0)
+    video = jnp.asarray(
+        rng.normal(size=(2, NF, 3, RES, RES)).astype(np.float32)
+    )
+    out = np.asarray(tsf.apply({"params": params}, video))
+    assert np.isfinite(out).all()
+
+    # ablate: zeroing out_proj of timeattn too must not change anything
+    # (v is already all-zero through the zero in_proj)
+    import copy
+
+    p2 = copy.deepcopy(jax.tree_util.tree_map(np.asarray, params))
+    for i in range(TINY.vision_layers):
+        p2[f"transformer_resblocks_{i}"]["timeattn"]["out_proj"]["kernel"][:] = 0
+    out2 = np.asarray(tsf.apply({"params": p2}, video))
+    np.testing.assert_allclose(out, out2, atol=1e-6)
+
+    # but activating the time path changes the output. NB with the all-ones
+    # out_proj the contribution stays constant-across-dims and is erased by
+    # LayerNorm (the init trick); breaking both projections activates it.
+    p3 = copy.deepcopy(jax.tree_util.tree_map(np.asarray, params))
+    blk = p3["transformer_resblocks_0"]["timeattn"]
+    prng = np.random.default_rng(1)
+    blk["in_proj_weight"][:] = prng.normal(size=blk["in_proj_weight"].shape) * 0.1
+    blk["out_proj"]["kernel"][:] = prng.normal(size=blk["out_proj"]["kernel"].shape) * 0.1
+    out3 = np.asarray(tsf.apply({"params": p3}, video))
+    assert not np.allclose(out, out3, atol=1e-4)
