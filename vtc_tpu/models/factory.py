@@ -97,6 +97,15 @@ def create_model(
     # accepted-for-compat torch-specific args
     kwargs.pop("audio_model_ckpt", None)
     clip_audio_ckpt = kwargs.pop("clip_audio_ckpt", None)
+    if isinstance(dtype, str):
+        dtype = {
+            "float32": jnp.float32,
+            "fp32": jnp.float32,
+            "bfloat16": jnp.bfloat16,
+            "bf16": jnp.bfloat16,
+            "float16": jnp.float16,
+            "fp16": jnp.float16,
+        }[dtype]
     module = ARCHS[arch](dtype=dtype, **kwargs)
 
     rngs = {
@@ -136,3 +145,28 @@ def create_model(
     variables = dict(variables)
     variables["params"] = params
     return module, variables
+
+
+def convert_weights(params, dtype=jnp.bfloat16):
+    """Low-precision parameter cast — the TPU analogue of the reference's
+    fp16 converter (``model/model.py:509-536``): matmul/conv/projection
+    weights cast to ``dtype`` (bf16 by default, the MXU-native type),
+    LayerNorm/BatchNorm scales+biases and embeddings kept fp32 for numerics.
+    """
+
+    def _cast(path, x):
+        name = "/".join(str(getattr(p, "key", p)) for p in path)
+        if x.dtype not in (jnp.float32, np.float32):
+            return x
+        keep_fp32 = (
+            "/ln" in name
+            or name.endswith("scale")
+            or name.endswith("bias")
+            or "bn" in name.split("/")[-1]
+            or "logit_scale" in name
+            or "embedding" in name
+            or "temporal_embed" in name
+        )
+        return x if keep_fp32 else jnp.asarray(x, dtype)
+
+    return jax.tree_util.tree_map_with_path(_cast, params)

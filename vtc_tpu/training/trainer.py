@@ -228,18 +228,34 @@ class Trainer:
             return shard_batch(tree, self.mesh)
         return jax.tree_util.tree_map(jnp.asarray, tree)
 
+    def _batches(self, loader):
+        """Host batching overlapped with device compute: device_put up to 2
+        batches ahead (the sharded analogue of pin_memory + prefetch)."""
+        def gen():
+            for *data, meta in loader:
+                data = _flatten_data(data)
+                meta_dev = {
+                    k: v for k, v in meta.items() if hasattr(v, "shape")
+                }
+                yield data, meta_dev
+
+        from ..data.loader import prefetch_to_device
+
+        yield from prefetch_to_device(gen(), self.mesh, size=2)
+
     def _train_epoch(self, epoch: int) -> dict:
         self.train_metrics.reset()
         batch_tic = time.time()
         hz_list = []
 
-        for batch_idx, (*data, meta) in enumerate(self.data_loader):
-            data = _flatten_data(data)
+        profile_dir = self.config.get("trainer", {}).get("profile_dir") if isinstance(
+            self.config.get("trainer", {}), dict
+        ) else None
+        if profile_dir and epoch == 1:
+            jax.profiler.start_trace(profile_dir)
+
+        for batch_idx, (data, meta) in enumerate(self._batches(self.data_loader)):
             batch_size = data[0].shape[0]
-            data = self._put_batch(data)
-            meta = self._put_batch(
-                {k: v for k, v in meta.items() if hasattr(v, "shape")}
-            )
             step_rng = jax.random.fold_in(
                 self.base_rng, (epoch - 1) * self.len_epoch + batch_idx
             )
@@ -264,6 +280,10 @@ class Trainer:
                 )
             if batch_idx == self.len_epoch:
                 break
+
+        if profile_dir and epoch == 1:
+            jax.profiler.stop_trace()
+            self.logger.info("Wrote profiler trace to %s", profile_dir)
 
         log = self.train_metrics.result()
 
