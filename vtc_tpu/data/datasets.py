@@ -503,10 +503,12 @@ class ImTextDataset(VisionTitleCommentDatasetBase):
         cached_audio_features=None,
         audio_with_comms=None,
         audio_instead_of_title=False,
+        image_size=224,
         seed=0,
     ):
         self.train = train
         self.root = root
+        self.image_size = int(image_size)
         self.num_comms = int(num_comms)
         self.comment_sampling = comment_sampling if train else None
         self.cached_vision_features = cached_vision_features
@@ -550,7 +552,7 @@ class ImTextDataset(VisionTitleCommentDatasetBase):
             im = Image.open(self.filenames[idx]).convert("RGB")
             if self.use_augmentation and self.train:
                 im = augment_image(im, self.rng)
-            im = clip_preprocess(im)
+            im = clip_preprocess(im, self.image_size)
 
         title_tok = self._tokenise([title])[0]
         if self.add_comments:

@@ -127,30 +127,33 @@ def _reference_attention(q, k, v, mask, scale):
     ).astype(q.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def fused_attention(
     q, k, v, mask=None, scale: Optional[float] = None, block_b: int = 8,
     interpret: bool = False,
 ):
-    """Fused attention over [B, L, D] (B = batch*heads)."""
-    scale = scale if scale is not None else q.shape[-1] ** -0.5
-    return _fused_attention_fwd_impl(q, k, v, mask, scale, block_b, interpret)
+    """Fused attention over [B, L, D] (B = batch*heads). ``mask`` is a
+    differentiable argument (it may be a traced array); its cotangent is
+    None."""
+    s = scale if scale is not None else q.shape[-1] ** -0.5
+    return _fused_attention_fwd_impl(q, k, v, mask, s, block_b, interpret)
 
 
 def _fwd(q, k, v, mask, scale, block_b, interpret):
-    scale = scale if scale is not None else q.shape[-1] ** -0.5
-    out = _fused_attention_fwd_impl(q, k, v, mask, scale, block_b, interpret)
-    return out, (q, k, v)
+    s = scale if scale is not None else q.shape[-1] ** -0.5
+    out = _fused_attention_fwd_impl(q, k, v, mask, s, block_b, interpret)
+    return out, (q, k, v, mask)
 
 
-def _bwd(mask, scale, block_b, interpret, res, g):
-    q, k, v = res
-    scale = scale if scale is not None else q.shape[-1] ** -0.5
+def _bwd(scale, block_b, interpret, res, g):
+    q, k, v, mask = res
+    s = scale if scale is not None else q.shape[-1] ** -0.5
     _, vjp = jax.vjp(
-        lambda q_, k_, v_: _reference_attention(q_, k_, v_, mask, scale),
+        lambda q_, k_, v_: _reference_attention(q_, k_, v_, mask, s),
         q, k, v,
     )
-    return vjp(g)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
 
 
 fused_attention.defvjp(_fwd, _bwd)
