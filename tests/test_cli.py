@@ -1,0 +1,152 @@
+"""End-to-end CLI tests: train.py main() and evaluation/eval.py main() on a
+synthetic image+title+comments corpus with the tiny model variant."""
+
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pytest
+from PIL import Image
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "evaluation"))
+
+BASE36 = "0123456789abcdefghijklmnopqrstuvwxyz"
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("corpus")
+    rng = np.random.default_rng(0)
+    root = tmp_path / "media"
+    (root / "vids").mkdir(parents=True)
+    rows = []
+    for i in range(72):
+        rid_str = "ab" + BASE36[(i * 7) % 36] + BASE36[i % 36]
+        rid = int(rid_str, 36)
+        if any(r["reddit_id"] == rid for r in rows):
+            continue
+        rows.append(
+            {
+                "reddit_id": rid,
+                "video_path": f"results/vids/{rid_str}.mp4",
+                "title": f"a video about topic {i}",
+                "video_length": 10.0,
+                "comments": str([f"this is about topic {i}", f"great {i}"]),
+            }
+        )
+        Image.fromarray(
+            rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+        ).save(root / "vids" / f"{rid_str}.jpg")
+    csv = tmp_path / "posts.csv"
+    pd.DataFrame(rows).to_csv(csv, index=False)
+    return tmp_path, csv, root
+
+
+def _config(tmp_path, csv, root):
+    return {
+        "name": "cli_smoke",
+        "n_gpu": 1,
+        "batch_size": 4,
+        "num_workers": 0,
+        "arch": {
+            "type": "PretrainedCLIP_finaltf",
+            "args": {
+                "model_type": "test-tiny",
+                "freeze": "all",
+                "branch_to_adapt": "text",
+                "branch_to_adapt_val": "text",
+            },
+        },
+        "dataset": {
+            "type": "ImTextDataset",
+            "args": {
+                "root": str(root),
+                "csv_file": str(csv),
+                "add_comments": "always",
+                "comment_sampling": "random",
+                "num_comms": 2,
+                "image_size": 32,
+            },
+        },
+        "optimizer": {"type": "Adam", "args": {"lr": 0.001, "weight_decay": 0, "amsgrad": True}},
+        "loss": "clip_loss",
+        "loss_args": {},
+        "metrics": [
+            {"type": "RecallAtK", "args": {"name_a": "visual", "name_b": "titles", "k_vals": [1, 10]}}
+        ],
+        "lr_scheduler": {"type": "StepLR", "args": {"step_size": 10, "gamma": 0.1}},
+        "trainer": {
+            "epochs": 1,
+            "save_dir": str(tmp_path / "saved"),
+            "save_period": 1,
+            "verbosity": 2,
+            "monitor": "max val_titles_from_visual-recall_at_10",
+            "early_stop": 10,
+            "tensorboard": False,
+        },
+    }
+
+
+def test_train_cli_main(corpus):
+    tmp_path, csv, root = corpus
+    cfg_path = tmp_path / "cfg.jsonc"
+    cfg_path.write_text(json.dumps(_config(tmp_path, csv, root)))
+
+    import train as train_cli
+    from vtc_tpu.config import ConfigParser
+    from vtc_tpu.utils import read_json
+
+    config = ConfigParser(read_json(cfg_path))
+    train_cli.main(config)
+
+    run_dir = config.save_dir
+    assert (run_dir / "checkpoint-epoch1").exists()
+    assert (run_dir / "config.json").exists()
+
+
+def test_eval_cli_main(corpus):
+    tmp_path, csv, root = corpus
+    cfg_path = tmp_path / "cfg_eval.jsonc"
+    cfg_path.write_text(json.dumps(_config(tmp_path, csv, root)))
+
+    import importlib
+
+    eval_cli = importlib.import_module("eval")
+    from vtc_tpu.config import ConfigParser
+    from vtc_tpu.utils import read_json
+
+    config = ConfigParser(read_json(cfg_path))
+
+    class Args:
+        num_irrelevant_comments = 0
+
+    out = eval_cli.main(config, Args(), None)
+    assert set(out) == {
+        "R1_title_from_im", "R5_title_from_im", "R10_title_from_im",
+        "R1_im_from_title", "R5_im_from_title", "R10_im_from_title",
+    }
+    for v in out.values():
+        assert 0.0 <= v <= 1.0
+    assert Path("zero_shot_res_None.json").exists()
+    Path("zero_shot_res_None.json").unlink()
+
+
+def test_eval_cli_irrelevant_comments(corpus):
+    tmp_path, csv, root = corpus
+    import importlib
+
+    eval_cli = importlib.import_module("eval")
+
+    comments = np.random.default_rng(0).integers(
+        1, 49405, size=(6, 2, 77)
+    ).astype(np.int32)
+    out = eval_cli.add_irrelevant_comms(comments, 3)
+    assert out.shape == (6, 5, 77)
+    # original comments preserved, every row populated (the reference bug
+    # left rows 1..n zeroed)
+    np.testing.assert_array_equal(out[:, :2], comments)
+    assert (np.abs(out[1:, 2:]).sum(axis=(1, 2)) > 0).all()

@@ -133,6 +133,14 @@ class RecallAtK(BaseMetric):
 
     def result(self):
         tic = time.time()
+        if not self.features_a_list:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "RecallAtK: no batches accumulated (validation set smaller "
+                "than the batch size with drop_last?); skipping"
+            )
+            return {}
         features_a = np.concatenate(self.features_a_list)
         features_b = np.concatenate(self.features_b_list)
 
