@@ -278,6 +278,14 @@ class Trainer:
                     epoch, batch_idx, self.len_epoch, loss,
                     hz, float(np.mean(hz_list[-500:])),
                 )
+                from ..utils import is_image_like_batch
+
+                if self.writer.writer is not None and is_image_like_batch(
+                    data[0]
+                ):
+                    self.writer.add_image(
+                        "input", make_grid(np.asarray(data[0]), nrow=8)
+                    )
             if batch_idx == self.len_epoch:
                 break
 
@@ -458,3 +466,19 @@ class Trainer:
         self.logger.info(
             "Checkpoint loaded. Resume training from epoch %d", self.start_epoch
         )
+
+
+def make_grid(images: "np.ndarray", nrow: int = 8, normalize: bool = True):
+    """Tile a [b, 3, h, w] batch into one [3, H, W] image for TensorBoard
+    (the torchvision.utils.make_grid usage at ``trainer/trainer.py:103-106``)."""
+    b, c, h, w = images.shape
+    ncol = min(nrow, b)
+    nrows = (b + ncol - 1) // ncol
+    if normalize:
+        lo, hi = images.min(), images.max()
+        images = (images - lo) / max(float(hi - lo), 1e-6)
+    grid = np.zeros((c, nrows * h, ncol * w), dtype=np.float32)
+    for i in range(b):
+        r, col = divmod(i, ncol)
+        grid[:, r * h : (r + 1) * h, col * w : (col + 1) * w] = images[i]
+    return grid
