@@ -50,6 +50,7 @@ class DataLoader:
         seed: int = 0,
         collate_fn=default_collate,
         prefetch: int = 2,
+        shard_by_process: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -60,9 +61,19 @@ class DataLoader:
         self.collate_fn = collate_fn
         self.prefetch = prefetch
         self._epoch = 0
+        # multi-host input sharding: each host reads its own slice of the
+        # (identically shuffled) index stream
+        if shard_by_process:
+            import jax
+
+            self.process_index = jax.process_index()
+            self.process_count = jax.process_count()
+        else:
+            self.process_index = 0
+            self.process_count = 1
 
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = len(self.dataset) // self.process_count
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -73,8 +84,14 @@ class DataLoader:
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self._epoch)
             rng.shuffle(idx)
+        if self.process_count > 1:
+            per_host = n // self.process_count
+            idx = idx[
+                self.process_index * per_host : (self.process_index + 1) * per_host
+            ]
         batches = [
-            idx[i : i + self.batch_size] for i in range(0, n, self.batch_size)
+            idx[i : i + self.batch_size]
+            for i in range(0, len(idx), self.batch_size)
         ]
         if self.drop_last and batches and len(batches[-1]) < self.batch_size:
             batches.pop()
