@@ -92,8 +92,9 @@ def _measure_cpu() -> float:
 
 
 def main():
-    batch = int(os.environ.get("BENCH_BATCH", 128))
-    iters = int(os.environ.get("BENCH_ITERS", 20))
+    # batch 64 measured fastest on v5e (6.5k pairs/s vs 5.5k at 128/256)
+    batch = int(os.environ.get("BENCH_BATCH", 64))
+    iters = int(os.environ.get("BENCH_ITERS", 16))
 
     ns = {}
     exec(BENCH_CODE, ns)
