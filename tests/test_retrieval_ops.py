@@ -139,3 +139,23 @@ def test_other_losses():
         float(ref),
         rtol=1e-5,
     )
+
+
+def test_chunked_matches_dense():
+    from vtc_tpu.ops.retrieval import recall_at_k_chunked
+
+    rng = np.random.default_rng(3)
+    g = rng.normal(size=(300, 32)).astype(np.float32)
+    q = g[rng.permutation(300)] + 0.001 * rng.normal(size=(300, 32)).astype(
+        np.float32
+    )
+    targets = None  # identity targets vs permuted gallery: nontrivial recall
+    dense = recall_at_k(g, q, [1, 5, 10])
+    chunked = recall_at_k_chunked(g, q, [1, 5, 10], chunk=64)
+    assert dense == chunked
+
+    # with -inf padding rows mixed in
+    g_pad = np.concatenate([g, np.full((20, 32), -np.inf, np.float32)])
+    dense2 = recall_at_k(g_pad, q, [1, 5])
+    chunked2 = recall_at_k_chunked(g_pad, q, [1, 5], chunk=77)
+    assert dense2 == chunked2

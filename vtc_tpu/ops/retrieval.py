@@ -155,3 +155,65 @@ def recall_at_k_sharded(features_a, features_b, k_vals, mesh, axis="data", targe
         jnp.asarray(features_a), queries, targets, int(max(k_vals)), mesh, axis
     )
     return [(int(k), float(hits[:, int(k) - 1].mean())) for k in k_vals]
+
+
+# --------------------------------------------------------------------------
+# Chunked / streaming top-k for large galleries
+# --------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("max_k", "chunk"))
+def _topk_hits_chunked(gallery, queries, targets, max_k: int, chunk: int):
+    """Running top-k merged over gallery tiles via lax.scan: the full
+    [nq, ng] score matrix never materializes in HBM (only [nq, chunk] tiles),
+    so eval galleries can grow far past the dense-matrix budget."""
+    nq = queries.shape[0]
+    ng = gallery.shape[0]
+    n_chunks = (ng + chunk - 1) // chunk
+    pad = n_chunks * chunk - ng
+    gallery = jnp.pad(gallery, ((0, pad), (0, 0)), constant_values=-jnp.inf)
+    g_tiles = gallery.reshape(n_chunks, chunk, gallery.shape[-1])
+
+    q = queries.astype(jnp.float32)
+
+    def scan_body(carry, tile_idx_and_g):
+        best_scores, best_idx = carry
+        tile_i, g = tile_idx_and_g
+        dots = jnp.matmul(q, g.astype(jnp.float32).T,
+                          preferred_element_type=jnp.float32)
+        g_sq = 0.5 * jnp.sum(g.astype(jnp.float32) ** 2, axis=-1)
+        scores = dots - g_sq[None, :]
+        scores = jnp.where(jnp.isfinite(scores), scores, -jnp.inf)
+        idx = tile_i * chunk + jnp.arange(chunk)[None, :]
+        merged_scores = jnp.concatenate([best_scores, scores], axis=-1)
+        merged_idx = jnp.concatenate(
+            [best_idx, jnp.broadcast_to(idx, scores.shape)], axis=-1
+        )
+        top_scores, top_pos = jax.lax.top_k(merged_scores, max_k)
+        top_idx = jnp.take_along_axis(merged_idx, top_pos, axis=-1)
+        return (top_scores, top_idx), None
+
+    init = (
+        jnp.full((nq, max_k), -jnp.inf, jnp.float32),
+        jnp.full((nq, max_k), -1, jnp.int32),
+    )
+    (scores, idx), _ = jax.lax.scan(
+        scan_body, init, (jnp.arange(n_chunks), g_tiles)
+    )
+    match = idx == targets[:, None]
+    return jnp.cumsum(match, axis=-1) > 0
+
+
+def recall_at_k_chunked(
+    features_a, features_b, k_vals=(1, 5, 10), targets=None, chunk: int = 2048
+):
+    """R@K over a streamed gallery (same contract as :func:`recall_at_k`)."""
+    gallery = jnp.asarray(features_a)
+    queries = jnp.asarray(features_b)
+    nq = queries.shape[0]
+    targets = jnp.arange(nq) if targets is None else jnp.asarray(targets)
+    max_k = int(max(k_vals))
+    hits = np.asarray(
+        _topk_hits_chunked(gallery, queries, targets, max_k, int(chunk))
+    )
+    return [(int(k), float(hits[:, int(k) - 1].mean())) for k in k_vals]
