@@ -31,7 +31,7 @@ _TIME_MATCHES = ("time", "temporal")
 # CAM parameters live under the 'cam' module
 _ADAPTER_PREFIX = "cam/"
 # no-weight-decay matches (train.py:108): bias, layernorm, embeddings
-_NODECAY_MATCHES = ("bias", "/ln", "embedding", "temporal_embed", "scale")
+_NODECAY_MATCHES = ("bias", "/ln", "embedding", "temporal_embed")
 
 
 def _path_str(path) -> str:
@@ -50,7 +50,10 @@ def classify_param(path: str) -> str:
 
 
 def is_nodecay(path: str) -> bool:
-    return any(t in path for t in _NODECAY_MATCHES)
+    # "/scale" catches LayerNorm/BatchNorm scales (torch names them
+    # "<ln>.weight", matched by ".ln" in the reference) — but not logit_scale,
+    # which the reference leaves in the decay set
+    return any(t in path for t in _NODECAY_MATCHES) or path.endswith("/scale")
 
 
 def frozen_predicate(branch_to_freeze) -> Callable[[str], bool]:
