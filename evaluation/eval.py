@@ -109,6 +109,8 @@ def main(config: ConfigParser, args, checkpoint_path):
     def fwd(*data):
         return _fwd(variables, *data)
 
+    from vtc_tpu.data.tokenizer import truncate_to_eot_bucket
+
     res_vis, res_text, ids = [], [], []
     for items in data_loader:
         *data, meta = items
@@ -118,6 +120,14 @@ def main(config: ConfigParser, args, checkpoint_path):
                 "Number of irrelevant comments needs to be smaller than batch size."
             )
             data[2] = add_irrelevant_comms(data[2], num_irrelevant_comments)
+        # exactness-preserving text truncation (causal mask + EOT pooling:
+        # tokens after EOT never influence the embedding)
+        data = [
+            truncate_to_eot_bucket(d)
+            if d.dtype.kind == "i" and d.shape[-1] == 77
+            else d
+            for d in data
+        ]
         feats_vis, feats_text = fwd(*[jnp.asarray(d) for d in data])
         res_vis.append(np.asarray(feats_vis))
         res_text.append(np.asarray(feats_text))

@@ -112,3 +112,25 @@ def test_augment_frames_shared_across_time():
     assert out.shape == (8, 256, 256, 3)
     # identical input frames stay identical after the shared transform
     assert (out[0] == out[5]).all()
+
+
+def test_truncate_to_eot_bucket_preserves_embeddings():
+    import jax.numpy as jnp
+
+    from vtc_tpu.models import create_model
+
+    toks = tk.tokenize(["a short text", "slightly longer text about things"])
+    trunc = tk.truncate_to_eot_bucket(toks)
+    assert trunc.shape[-1] < 77  # (exact bucket depends on the vocab)
+    assert (trunc[:, 0] == 49406).all()
+
+    module, variables = create_model("PretrainedCLIP", model_type="test-tiny")
+    full = module.apply(
+        variables, jnp.asarray(toks), method="encode_text"
+    )
+    short = module.apply(
+        variables, jnp.asarray(trunc), method="encode_text"
+    )
+    np.testing.assert_allclose(
+        np.asarray(full), np.asarray(short), atol=1e-5
+    )

@@ -254,3 +254,21 @@ def tokenize_max_len(
         else:
             result[i, : len(tokens)] = np.array(tokens)
     return result
+
+
+def truncate_to_eot_bucket(tokens: np.ndarray, buckets=(16, 32, 48, 64, 77)):
+    """Truncate a [..., 77] token batch to the smallest bucket covering every
+    EOT position.
+
+    Exactness-preserving: the text tower is causally masked and pools at the
+    EOT token, so positions after EOT never influence the output — dropping
+    them only removes wasted compute (~5x on typical titles/comments).
+    """
+    if tokens.ndim == 1:
+        tokens = tokens[None]
+    eot_pos = tokens.argmax(axis=-1)  # EOT has the highest id
+    need = int(eot_pos.max()) + 1
+    for b in buckets:
+        if need <= b:
+            return tokens[..., :b]
+    return tokens
