@@ -26,6 +26,16 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils import TensorboardWriter, inf_loop
+
+try:  # optional third sink (reference logs to wandb, trainer/trainer.py:92,120)
+    import wandb as _wandb
+except ImportError:  # pragma: no cover
+    _wandb = None
+
+
+def _wandb_log(payload: dict) -> None:
+    if _wandb is not None and getattr(_wandb, "run", None) is not None:
+        _wandb.log(payload)
 from .checkpoints import (
     assert_warm_start_keys,
     graft_params,
@@ -273,6 +283,7 @@ class Trainer:
             batch_tic = time.time()
 
             if batch_idx % self.log_step == 0:
+                _wandb_log({"loss": loss})
                 self.logger.debug(
                     "Train Epoch: %d [%d/%d] Loss: %.6f Speed: %.2fHz (av %.2fHz)",
                     epoch, batch_idx, self.len_epoch, loss,
@@ -298,6 +309,7 @@ class Trainer:
         if self.do_validation:
             val_log = self._valid_epoch(epoch)
             log.update(**{"val_" + k: v for k, v in val_log.items()})
+            _wandb_log({"val_" + k: v for k, v in val_log.items()})
         return log
 
     def _valid_epoch(self, epoch: int) -> dict:
