@@ -19,7 +19,7 @@ from __future__ import annotations
 import ast
 import json
 import os
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 import pandas as pd
@@ -37,7 +37,6 @@ from .rake import Rake
 from .tokenizer import get_tokenizer, tokenize, tokenize_max_len
 from .video import (
     FALLBACK_SHAPE,
-    linspace_subsample,
     read_segment_with_fallbacks,
     read_video_full,
     read_video_segment,
