@@ -9,6 +9,7 @@ import pandas as pd
 import pytest
 
 from vtc_tpu.data import (
+    VideoDatasetFirst32,
     DataLoader,
     FeaturesDataset,
     ImTextDataset,
@@ -214,3 +215,47 @@ def test_dataloader_batching(tmp_path):
     _ = list(loader2)
     ids2 = [tuple(np.asarray(b[3]["id"])) for b in loader2]
     assert ids1 == ids2  # epoch 2 of equal-seed loaders matches
+
+
+def test_video_dataset_first32(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    del cv2
+    csv, root = _make_csv(tmp_path, make_mp4s=True)
+    df = pd.read_csv(csv)
+    feats_path = tmp_path / "txt.npz"
+    np.savez(
+        feats_path,
+        reddit_ids=df.reddit_id.to_numpy(np.int64),
+        embeddings=np.random.default_rng(0)
+        .normal(size=(len(df), 12))
+        .astype(np.float32),
+    )
+    ds = VideoDatasetFirst32(str(csv), str(root), train=True,
+                             text_features=str(feats_path),
+                             should_partition_dataframe=False)
+    vid, text, meta = ds[0]
+    # ig65m layout [c, t, h, w], 32 frames at 128x171
+    assert vid.shape == (3, 32, 128, 171)
+    assert text.shape == (12,)
+    assert "id" in meta
+    # clip_preprocess mode: [t, 3, 224, 224] + tokenized title
+    ds2 = VideoDatasetFirst32(str(csv), str(root), train=True,
+                              should_partition_dataframe=False,
+                              clip_preprocess=True)
+    vid2, text2, _ = ds2[0]
+    assert vid2.shape == (32, 3, 224, 224)
+    assert text2.shape == (1, 77)
+
+
+def test_video_dataset_first1800(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    del cv2
+    csv, root = _make_csv(tmp_path, make_mp4s=True)
+    from vtc_tpu.data import VideoDatasetFirst1800
+
+    ds = VideoDatasetFirst1800(str(csv), str(root), train=True,
+                               should_partition_dataframe=False)
+    vid, meta = ds[0]
+    # [c, t, 112, 112] with at least min_nframes frames
+    assert vid.shape[0] == 3 and vid.shape[2:] == (112, 112)
+    assert vid.shape[1] >= 32

@@ -311,6 +311,12 @@ class VideoDatasetFirst32:
         self.text_feats = (
             load_features(df, text_features) if text_features is not None else None
         )
+        if not clip_preprocess and self.text_feats is None:
+            raise ValueError(
+                "VideoDatasetFirst32 without clip_preprocess requires "
+                "text_features (the ig65m path trains against cached text "
+                "embeddings)"
+            )
 
     def __len__(self):
         return len(self.video_files)

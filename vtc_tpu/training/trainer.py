@@ -344,6 +344,15 @@ class Trainer:
                 self.logger.warning("Skipping retrieval probe: %s", e)
                 self.probe_fn = None
 
+        # per-parameter histograms (trainer/trainer.py:185-186)
+        if self.writer.writer is not None:
+            flat = jax.tree_util.tree_leaves_with_path(self.state.params)
+            for path, p in flat:
+                name = "/".join(
+                    str(getattr(k, "key", k)) for k in path
+                )
+                self.writer.add_histogram(name, np.asarray(p), bins="auto")
+
         return self.valid_metrics.result()
 
     # ------------------------------------------------------------------ #
