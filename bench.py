@@ -92,8 +92,9 @@ def _measure_cpu() -> float:
 
 
 def main():
-    # batch 64 measured fastest on v5e (6.5k pairs/s vs 5.5k at 128/256)
-    batch = int(os.environ.get("BENCH_BATCH", 64))
+    # sweep on v5e: 96 -> 6734 pairs/s, 64 -> 6517, 128 -> 5474, 80 -> 5378,
+    # 256 -> 5410 (batch*heads = 1152 = 9*128 tiles the attention batch well)
+    batch = int(os.environ.get("BENCH_BATCH", 96))
     iters = int(os.environ.get("BENCH_ITERS", 16))
 
     ns = {}
