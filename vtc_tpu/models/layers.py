@@ -169,6 +169,13 @@ class ResidualAttentionBlock(nn.Module):
         return x
 
 
+def use_remat() -> bool:
+    """Rematerialize transformer blocks in backward (``VTC_REMAT=1``): trades
+    recompute FLOPs for activation HBM — the standard lever for large-batch
+    video finetuning."""
+    return os.environ.get("VTC_REMAT") == "1"
+
+
 class Transformer(nn.Module):
     """Stack of residual attention blocks. Also reused standalone as the CAM
     transformer (``clip.model.Transformer`` in ``model/model.py:396-398``)."""
@@ -180,8 +187,11 @@ class Transformer(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask: Optional[jax.Array] = None):
+        block_cls = ResidualAttentionBlock
+        if use_remat():
+            block_cls = nn.remat(ResidualAttentionBlock, static_argnums=())
         for i in range(self.layers):
-            x = ResidualAttentionBlock(
+            x = block_cls(
                 self.width, self.heads, dtype=self.dtype, name=f"resblocks_{i}"
             )(x, mask)
         return x

@@ -68,6 +68,11 @@ def _flatten_data(data):
 
 def make_step_fns(module, criterion, tx, donate: bool = True):
     """Build (train_step, eval_step) for a model module."""
+    import inspect
+
+    call_params = inspect.signature(type(module).__call__).parameters
+    has_train_kwarg = "train" in call_params
+    has_branch_kwarg = "branch_override" in call_params
 
     def _apply(params, batch_stats, data, train, rngs, branch_override=None):
         variables = {"params": params}
@@ -76,19 +81,14 @@ def make_step_fns(module, criterion, tx, donate: bool = True):
             variables["batch_stats"] = batch_stats
             mutable = ["batch_stats"]
         kwargs = {}
-        if branch_override is not None:
+        if has_train_kwarg:
+            kwargs["train"] = train
+        if branch_override is not None and has_branch_kwarg:
             kwargs["branch_override"] = branch_override
         mutable_arg = mutable if (train and mutable) else False
-        try:
-            out = module.apply(
-                variables, *data, train=train, rngs=rngs,
-                mutable=mutable_arg, **kwargs,
-            )
-        except TypeError:
-            # models without a train kwarg path (e.g. simple baselines)
-            out = module.apply(
-                variables, *data, rngs=rngs, mutable=mutable_arg, **kwargs,
-            )
+        out = module.apply(
+            variables, *data, rngs=rngs, mutable=mutable_arg, **kwargs
+        )
         if mutable_arg:
             return out
         return out, {}
