@@ -75,22 +75,32 @@ def chunk_frames(frames: np.ndarray, frame_stride: int, nframes: int = NFRAMES):
     return np.stack(chunks)
 
 
+_FWD_CACHE: dict = {}
+
+
 def make_eval_forward(module, variables, branch_override: Optional[str]):
     """Bucketed, jit-compiled forward: (frames[nchunk_b, 8, ...],
     captions[ncap_b, 77], comments[nc, 5, 77]) -> (feats_vis, feats_text).
 
-    Params are jit arguments (closures would bake them into the HLO)."""
+    Params are jit arguments (closures would bake them into the HLO); the
+    jitted function is cached per (module, branch) so repeated probe calls
+    (every epoch, twice) reuse compilations."""
+    key = (id(module), branch_override)
+    fwd = _FWD_CACHE.get(key)
+    if fwd is None:
 
-    @partial(jax.jit, static_argnames=("needs_comments",))
-    def fwd(variables, frames, captions, comments, needs_comments):
-        if needs_comments:
-            out = module.apply(
-                variables, frames, captions, comments,
-                branch_override=branch_override,
-            )
-        else:
-            out = module.apply(variables, frames, captions)
-        return out[0], out[1]
+        @partial(jax.jit, static_argnames=("needs_comments",))
+        def fwd(variables, frames, captions, comments, needs_comments):
+            if needs_comments:
+                out = module.apply(
+                    variables, frames, captions, comments,
+                    branch_override=branch_override,
+                )
+            else:
+                out = module.apply(variables, frames, captions)
+            return out[0], out[1]
+
+        _FWD_CACHE[key] = fwd
 
     return partial(fwd, variables)
 
