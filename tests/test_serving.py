@@ -1,0 +1,69 @@
+"""Serving retrieval index: exactness, id mapping, save/load, model-backed
+text/image search."""
+
+import numpy as np
+import pytest
+
+from vtc_tpu.data import tokenizer as tk
+from vtc_tpu.models import create_model
+from vtc_tpu.serving import ClipRetrievalService, RetrievalIndex
+
+
+def test_index_search_exact():
+    rng = np.random.default_rng(0)
+    emb = rng.normal(size=(50, 16)).astype(np.float32)
+    ids = np.arange(1000, 1050)
+    index = RetrievalIndex(16)
+    index.add(emb[:30], ids[:30])
+    index.add(emb[30:], ids[30:])
+    assert len(index) == 50
+
+    q = emb[[5, 17, 42]] + 0.001 * rng.normal(size=(3, 16)).astype(np.float32)
+    got_ids, scores = index.search(q, k=3)
+    assert got_ids.shape == (3, 3) and scores.shape == (3, 3)
+    np.testing.assert_array_equal(got_ids[:, 0], [1005, 1017, 1042])
+    assert (np.diff(scores, axis=-1) <= 1e-6).all()  # descending
+
+
+def test_index_save_load(tmp_path):
+    rng = np.random.default_rng(1)
+    emb = rng.normal(size=(20, 8)).astype(np.float32)
+    index = RetrievalIndex(8)
+    index.add(emb, np.arange(20))
+    index.save(tmp_path / "idx.npz")
+
+    loaded = RetrievalIndex.load(tmp_path / "idx.npz")
+    ids1, s1 = index.search(emb[:4], k=2)
+    ids2, s2 = loaded.search(emb[:4], k=2)
+    np.testing.assert_array_equal(ids1, ids2)
+    np.testing.assert_allclose(s1, s2, atol=1e-6)
+
+    with pytest.raises(ValueError):
+        RetrievalIndex(8).search(emb[:1], k=1)
+
+
+def test_service_text_and_image_search():
+    module, variables = create_model("PretrainedCLIP", model_type="test-tiny")
+
+    rng = np.random.default_rng(2)
+    import jax.numpy as jnp
+
+    images = rng.normal(size=(10, 3, 32, 32)).astype(np.float32)
+    feats = np.asarray(
+        module.apply(variables, jnp.asarray(images), method="encode_image")
+    )
+    feats = feats / np.linalg.norm(feats, axis=-1, keepdims=True)
+
+    index = RetrievalIndex(feats.shape[-1])
+    index.add(feats, np.arange(10))
+    service = ClipRetrievalService(module, variables, index)
+
+    # image query: the gallery image itself must be its own top hit
+    ids, _ = service.search_image(images[3:4], k=1)
+    assert ids[0, 0] == 3
+
+    # text query runs end-to-end
+    tokens = tk.tokenize(["some query text"])
+    ids, scores = service.search_text(tokens, k=5)
+    assert ids.shape == (1, 5)
+    assert np.isfinite(scores).all()

@@ -1,0 +1,133 @@
+"""Retrieval serving: an HBM-resident embedding index with jitted
+encode->rank paths.
+
+The reference stops at offline evaluation (FAISS over CPU-gathered
+embeddings); this component packages the same exact-L2 ranking as a serving
+primitive: the gallery lives on device (optionally sharded over the mesh's
+data axis), queries are encoded by the model towers and ranked in one
+compiled program — text->visual and visual->text retrieval at thousands of
+queries/sec/chip (see PERFORMANCE.md for the encoder throughput that
+dominates).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.layers import l2_normalize
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _rank(gallery, queries, k: int):
+    g = gallery.astype(jnp.float32)
+    q = l2_normalize(queries.astype(jnp.float32))
+    scores = jnp.matmul(q, g.T, preferred_element_type=jnp.float32)
+    scores = jnp.where(jnp.isfinite(scores), scores, -jnp.inf)
+    top_scores, top_idx = jax.lax.top_k(scores, min(k, g.shape[0]))
+    return top_scores, top_idx
+
+
+class RetrievalIndex:
+    """Exact dense retrieval over L2-normalized embeddings.
+
+    ``ids`` are arbitrary integer identifiers aligned with the gallery rows
+    (reddit ids in the VTC corpus). The gallery is normalized on add, so
+    ranking by dot product == cosine == flat L2.
+    """
+
+    def __init__(self, embed_dim: int, mesh=None):
+        self.embed_dim = embed_dim
+        self.mesh = mesh
+        self._chunks = []
+        self._ids = []
+        self._gallery = None
+        self._gallery_ids = None
+
+    def __len__(self):
+        self._materialize()
+        return 0 if self._gallery is None else int(self._gallery.shape[0])
+
+    def add(self, embeddings, ids) -> None:
+        embeddings = np.asarray(embeddings, np.float32)
+        assert embeddings.shape[-1] == self.embed_dim
+        norms = np.linalg.norm(embeddings, axis=-1, keepdims=True)
+        self._chunks.append(embeddings / np.maximum(norms, 1e-12))
+        self._ids.append(np.asarray(ids, np.int64))
+        self._gallery = None  # invalidate
+
+    def _materialize(self):
+        if self._gallery is not None or not self._chunks:
+            return
+        gallery = np.concatenate(self._chunks)
+        self._gallery_ids = np.concatenate(self._ids)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._gallery = jax.device_put(
+                gallery, NamedSharding(self.mesh, P())
+            )
+        else:
+            self._gallery = jnp.asarray(gallery)
+
+    def search(self, query_embeddings, k: int = 10):
+        """-> (ids [nq, k], scores [nq, k])."""
+        self._materialize()
+        if self._gallery is None:
+            raise ValueError("index is empty")
+        scores, idx = _rank(self._gallery, jnp.asarray(query_embeddings), k)
+        return self._gallery_ids[np.asarray(idx)], np.asarray(scores)
+
+    # ------------------------------------------------------------------ #
+
+    def save(self, path) -> None:
+        self._materialize()
+        np.savez(
+            path,
+            embeddings=np.asarray(self._gallery),
+            reddit_ids=self._gallery_ids,
+        )
+
+    @classmethod
+    def load(cls, path, mesh=None) -> "RetrievalIndex":
+        with np.load(path) as z:
+            emb = z["embeddings"]
+            ids = z["reddit_ids"]
+        index = cls(embed_dim=emb.shape[-1], mesh=mesh)
+        index.add(emb, ids)
+        return index
+
+
+class ClipRetrievalService:
+    """Model + index: tokenized-text or image queries against an embedding
+    gallery, all on device."""
+
+    def __init__(self, module, variables, index: RetrievalIndex):
+        self.module = module
+        self.variables = variables
+        self.index = index
+
+        @jax.jit
+        def _encode_text(variables, tokens):
+            feats = module.apply(variables, tokens, method="encode_text")
+            return l2_normalize(feats.astype(jnp.float32))
+
+        @jax.jit
+        def _encode_image(variables, images):
+            feats = module.apply(variables, images, method="encode_image")
+            return l2_normalize(feats.astype(jnp.float32))
+
+        self._encode_text = _encode_text
+        self._encode_image = _encode_image
+
+    def search_text(self, tokens, k: int = 10):
+        feats = self._encode_text(self.variables, jnp.asarray(tokens))
+        return self.index.search(feats, k)
+
+    def search_image(self, images, k: int = 10):
+        feats = self._encode_image(self.variables, jnp.asarray(images))
+        return self.index.search(feats, k)
