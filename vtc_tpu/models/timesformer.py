@@ -137,9 +137,14 @@ class TimeSformer(nn.Module):
         xf = jnp.swapaxes(xf, 1, 2).reshape(B, n * F, width)
         xx = jnp.concatenate([cls, xf], axis=1)
 
+        from .layers import use_remat
+
+        block_cls = TimeSformerBlock
+        if use_remat():
+            block_cls = nn.remat(TimeSformerBlock, static_argnums=(2,))
         xx = LayerNorm32(name="ln_pre")(xx)
         for i in range(v.vision_layers):
-            xx = TimeSformerBlock(
+            xx = block_cls(
                 width, v.vision_heads, dtype=self.dtype,
                 name=f"transformer_resblocks_{i}",
             )(xx, F)

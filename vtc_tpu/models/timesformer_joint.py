@@ -197,9 +197,12 @@ class TimeSformerJoint(nn.Module):
         total = jnp.concatenate([cls_pos, tile_pos + tile_temporal], axis=0)
         xx = xx + total.astype(self.dtype)
 
+        from .layers import use_remat
+
+        block_cls = nn.remat(JointBlock) if use_remat() else JointBlock
         xx = LayerNorm32(name="ln_pre")(xx)
         for i in range(v.vision_layers):
-            xx = JointBlock(
+            xx = block_cls(
                 width, v.vision_heads, self.nframes, dtype=self.dtype,
                 name=f"transformer_resblocks_{i}",
             )(xx)
