@@ -392,3 +392,99 @@ def test_import_reference_torch_checkpoint(tmp_path):
     out1 = module.apply({"params": p}, vis, title, comments)
     out2 = module.apply({"params": merged}, vis, title, comments)
     np.testing.assert_allclose(np.asarray(out1[2]), np.asarray(out2[2]), atol=1e-5)
+
+
+def test_import_reference_timesformer_checkpoint(tmp_path):
+    """A torch .pth in the reference's TimeSformer format (timeattn/ln_time/
+    temporal_fc/temporal_embed keys under model.visual) loads into
+    PretrainedCLIP_TimeSformer_finaltf with forward parity."""
+    import torch
+
+    module, variables = create_model(
+        "PretrainedCLIP_TimeSformer_finaltf", model_type=TINY, nframes=4, seed=5
+    )
+    p = jax.tree_util.tree_map(np.asarray, variables["params"])
+
+    sd = {}
+
+    def put(key, arr, transpose=False):
+        a = np.asarray(arr, dtype=np.float32)
+        sd[key] = torch.from_numpy(a.T.copy() if transpose else a.copy())
+
+    def put_attn(prefix, attn):
+        put(f"{prefix}.in_proj_weight", attn["in_proj_weight"])
+        put(f"{prefix}.in_proj_bias", attn["in_proj_bias"])
+        put(f"{prefix}.out_proj.weight", attn["out_proj"]["kernel"], True)
+        put(f"{prefix}.out_proj.bias", attn["out_proj"]["bias"])
+
+    def put_block(prefix, blk, time=False):
+        put_attn(f"{prefix}.attn", blk["attn"])
+        for ln in ("ln_1", "ln_2"):
+            put(f"{prefix}.{ln}.weight", blk[ln]["scale"])
+            put(f"{prefix}.{ln}.bias", blk[ln]["bias"])
+        for fc in ("c_fc", "c_proj"):
+            put(f"{prefix}.mlp.{fc}.weight", blk["mlp"][fc]["kernel"], True)
+            put(f"{prefix}.mlp.{fc}.bias", blk["mlp"][fc]["bias"])
+        if time:
+            put_attn(f"{prefix}.timeattn", blk["timeattn"])
+            put(f"{prefix}.ln_time.weight", blk["ln_time"]["scale"])
+            put(f"{prefix}.ln_time.bias", blk["ln_time"]["bias"])
+            put(f"{prefix}.temporal_fc.weight", blk["temporal_fc"]["kernel"], True)
+            put(f"{prefix}.temporal_fc.bias", blk["temporal_fc"]["bias"])
+
+    v = p["clip"]["visual"]
+    sd["model.visual.conv1.weight"] = torch.from_numpy(
+        np.asarray(v["conv1"]).reshape(64, 3, 8, 8).copy()
+    )
+    put("model.visual.class_embedding", v["class_embedding"])
+    put("model.visual.positional_embedding", v["positional_embedding"])
+    put("model.visual.temporal_embed", v["temporal_embed"])
+    for ln in ("ln_pre", "ln_post"):
+        put(f"model.visual.{ln}.weight", v[ln]["scale"])
+        put(f"model.visual.{ln}.bias", v[ln]["bias"])
+    put("model.visual.proj", v["proj"])
+    for i in range(2):
+        put_block(
+            f"model.visual.transformer.resblocks.{i}",
+            v[f"transformer_resblocks_{i}"], time=True,
+        )
+
+    t = p["clip"]["text"]
+    put("model.token_embedding.weight", t["token_embedding"])
+    put("model.positional_embedding", t["positional_embedding"])
+    put("model.ln_final.weight", t["ln_final"]["scale"])
+    put("model.ln_final.bias", t["ln_final"]["bias"])
+    put("model.text_projection", t["text_projection"])
+    for i in range(2):
+        put_block(
+            f"model.transformer.resblocks.{i}", t["transformer"][f"resblocks_{i}"]
+        )
+    put("model.logit_scale", p["clip"]["logit_scale"])
+    for i in range(2):
+        put_block(
+            f"final_transformer.resblocks.{i}",
+            p["cam"]["final_transformer"][f"resblocks_{i}"],
+        )
+    put("final_linear.weight", p["cam"]["final_linear"], True)
+    put("mask_embedding", p["cam"]["mask_embedding"])
+
+    ckpt_path = tmp_path / "video_best.pth"
+    torch.save(
+        {"arch": "PretrainedCLIP_TimeSformer_finaltf", "epoch": 7,
+         "state_dict": sd, "monitor_best": 0.4, "config": {}},
+        ckpt_path,
+    )
+
+    restored = load_checkpoint(ckpt_path)
+    merged, missing, unexpected = graft_params(p, restored["params"])
+    assert missing == [] and unexpected == [], (missing[:3], unexpected[:3])
+
+    rng = np.random.default_rng(0)
+    vis = jnp.asarray(rng.normal(size=(2, 4, 3, 32, 32)).astype(np.float32))
+    from vtc_tpu.data import tokenizer as tk2
+
+    title = jnp.asarray(tk2.tokenize(["a", "b"]))
+    comments = jnp.asarray(np.stack([tk2.tokenize(["x", "y"])] * 2))
+    out1 = module.apply({"params": p}, vis, title, comments)
+    out2 = module.apply({"params": merged}, vis, title, comments)
+    np.testing.assert_allclose(np.asarray(out1[2]), np.asarray(out2[2]), atol=1e-5)
