@@ -142,3 +142,21 @@ def test_compute_recall_dataframe():
     v /= np.linalg.norm(v, axis=-1, keepdims=True)
     df = compute_recall(v, v + 0.001 * rng.normal(size=v.shape).astype(np.float32))
     assert df.loc["R@1"].tolist() == [100.0, 100.0]
+
+
+def test_retrieval_evaluation_image_branch(cam_model):
+    """branch 'image': comments replicate per chunk instead of per caption
+    (retrieval_evaluation.py:207-209)."""
+    module, variables = cam_model
+    ds = _SyntheticVideoDataset(n=4, with_comments=True, seed=3)
+    outdf = retrieval_evaluation(
+        module, variables, "synthetic", "test", dataset=ds, frame_stride=4,
+        branch_override="image",
+    )
+    assert np.isfinite(outdf.to_numpy()).all()
+    # differs from the text-branch result
+    outdf_t = retrieval_evaluation(
+        module, variables, "synthetic", "test", dataset=ds, frame_stride=4,
+        branch_override="text",
+    )
+    assert not np.allclose(outdf.to_numpy(), outdf_t.to_numpy())

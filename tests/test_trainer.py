@@ -488,3 +488,41 @@ def test_import_reference_timesformer_checkpoint(tmp_path):
     out1 = module.apply({"params": p}, vis, title, comments)
     out2 = module.apply({"params": merged}, vis, title, comments)
     np.testing.assert_allclose(np.asarray(out1[2]), np.asarray(out2[2]), atol=1e-5)
+
+
+def test_training_determinism(tmp_path):
+    """Two runs from the same seed produce bitwise-identical parameters —
+    the reproducibility the reference approximates with global seeding
+    (train.py:34-40) is exact here (explicit PRNG threading)."""
+    csv = _make_features_fixture(tmp_path)
+
+    def run():
+        module, variables = create_model(
+            "PretrainedCLIP_finaltf", model_type=TINY, freeze="all", seed=0
+        )
+        ds = _FeatureCommentDataset(csv, str(tmp_path / "vis.npz"), train=True)
+        loader = DataLoader(ds, batch_size=8, shuffle=True, drop_last=True,
+                            num_workers=0, seed=11)
+        tx = build_optimizer(
+            variables["params"], {"type": "Adam", "args": {"lr": 0.01}},
+            None, steps_per_epoch=1, branch_to_freeze="all",
+        )
+        from vtc_tpu.training.trainer import TrainState, make_step_fns
+
+        train_step, _ = make_step_fns(module, clip_loss, tx, donate=False)
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32), params=variables["params"],
+            opt_state=tx.init(variables["params"]), batch_stats={},
+        )
+        rng = jax.random.PRNGKey(7)
+        for vis, title, comments, meta in loader:
+            state, loss, _ = train_step(
+                state,
+                (jnp.asarray(vis), jnp.asarray(title), jnp.asarray(comments)),
+                {}, jax.random.fold_in(rng, int(state.step)),
+            )
+        return jax.tree_util.tree_map(np.asarray, state.params)
+
+    p1, p2 = run(), run()
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_array_equal(a, b)
