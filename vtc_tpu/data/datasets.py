@@ -250,7 +250,7 @@ class VideoDatasetSegments(VisionTitleCommentDatasetBase):
         comments = self.comments[idx]
 
         vid = self._read_video(idx)
-        vid = np.stack([clip_preprocess_pil(frame) for frame in vid])
+        vid = clip_preprocess_batch(vid)
         if self.first_frame_only:
             vid = vid[0]
 
@@ -271,6 +271,14 @@ def clip_preprocess_pil(frame: np.ndarray) -> np.ndarray:
     from PIL import Image
 
     return clip_preprocess(Image.fromarray(frame))
+
+
+def clip_preprocess_batch(frames: np.ndarray) -> np.ndarray:
+    """uint8 [t, h, w, 3] -> float32 [t, 3, 224, 224]: native threaded stage
+    (PIL-bit-exact) with transparent PIL fallback."""
+    from .native import clip_preprocess_frames_fast
+
+    return clip_preprocess_frames_fast(frames)
 
 
 class VideoDatasetFirst32:
@@ -337,7 +345,7 @@ class VideoDatasetFirst32:
             vid = out
 
         if self.clip_preprocess:
-            vid = np.stack([clip_preprocess_pil(f) for f in vid])
+            vid = clip_preprocess_batch(vid)
             try:
                 text = tokenize(self.titles[idx])
             except RuntimeError as e:
@@ -619,7 +627,7 @@ class VideoDatasetReddit(VideoDatasetSegments):
             print(f"Failed reading: {self.filenames[index]}")
             vid = np.zeros(FALLBACK_SHAPE, np.uint8)
 
-        frames = np.stack([clip_preprocess_pil(f) for f in vid[:8]])
+        frames = clip_preprocess_batch(vid[:8])
         if frames.shape[0] != 8:
             pad = np.zeros((8 - frames.shape[0],) + frames.shape[1:], np.float32)
             frames = np.concatenate([frames, pad], axis=0)
@@ -656,7 +664,7 @@ class VideoDatasetLivebot:
             print("failed video: ", self.video_files[index])
             frames = None
         else:
-            frames = np.stack([clip_preprocess_pil(f) for f in vid])
+            frames = clip_preprocess_batch(vid)
 
         vid_id = self.video_files[index].split("/")[-1].split(".")[0]
         title_tok = tokenize_max_len(self.titles[index])

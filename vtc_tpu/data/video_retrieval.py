@@ -21,7 +21,7 @@ from typing import Optional
 import numpy as np
 import pandas as pd
 
-from .datasets import clip_preprocess_pil
+from .datasets import clip_preprocess_batch
 from .preprocess import augment_frames
 from .tokenizer import tokenize, tokenize_max_len
 from .video import (
@@ -135,7 +135,7 @@ class VideoDatasetMSRVTT:
             vid = _read_video_train(video_path, self.rng)
         else:
             vid = read_video_full(video_path)
-        frames = np.stack([clip_preprocess_pil(f) for f in vid])
+        frames = clip_preprocess_batch(vid)
 
         if self.augment:
             if not self.train:
@@ -216,7 +216,7 @@ class VideoDatasetMSVD:
             vid = _read_video_train(video_path, self.rng)
         else:
             vid = read_video_full(video_path)
-        frames = np.stack([clip_preprocess_pil(f) for f in vid])
+        frames = clip_preprocess_batch(vid)
 
         captions = [" ".join(s) for s in self.captions[vid_id]]
         if self.augment:
@@ -281,7 +281,7 @@ class VideoDatasetActivityNet:
         video_path = self.video_files[idx]
         vid_id = video_path.split("/")[-1][:-4]
         vid = read_video_full(video_path)
-        frames = np.stack([clip_preprocess_pil(f) for f in vid])
+        frames = clip_preprocess_batch(vid)
         captions = [" ".join(s) for s in self.captions[vid_id]]
         return frames, tokenize(captions, truncate=True), vid_id
 
@@ -336,7 +336,7 @@ class VideoDatasetK700Comments:
 
     def __getitem__(self, index):
         vid = read_video_full(self.video_files[index])
-        frames = np.stack([clip_preprocess_pil(f) for f in vid])
+        frames = clip_preprocess_batch(vid)
         vid_id = self.video_files[index].split("/")[-1].split(".")[0]
         title_tok = tokenize_max_len(self.titles[index])
         comments_tok = tokenize_max_len(self.comments[index])
