@@ -228,12 +228,33 @@ class _CamRetrievalBase(_ClipRetrievalBase):
         feats = self.cam.substitute_empty(feats, comments)
         return jnp.swapaxes(feats, 0, 1)
 
+    def _encode_title_and_comments(self, title, comments):
+        """One fused text-tower pass over [title; comments] — identical math
+        to separate encodes (the tower is per-sequence), bigger GEMMs on the
+        MXU, one launch instead of two."""
+        b, ncomms, ntoks = comments.shape
+        if title.shape[-1] == ntoks:
+            joint = jnp.concatenate(
+                [title, comments.reshape(b * ncomms, ntoks)], axis=0
+            )
+            feats = self.clip.encode_text(joint).astype(jnp.float32)
+            feats_title = feats[: title.shape[0]]
+            feats_comm = feats[title.shape[0]:].reshape(
+                b, ncomms, self.feature_dim
+            )
+        else:  # different truncation buckets: separate passes
+            feats_title = self.clip.encode_text(title).astype(jnp.float32)
+            feats_comm = self._encode_comments(comments)
+        feats_comm = self.cam.substitute_empty(feats_comm, comments)
+        return feats_title, jnp.swapaxes(feats_comm, 0, 1)
+
     def _encode_with_comments(
         self, feats_vis, feats_title, comments, train, branch_override,
-        audio_feats=None,
+        audio_feats=None, feats_comm=None,
     ):
         """``_encode_with_comments`` (``model/model.py:216-266``)."""
-        feats_comm = self._load_comment_features(comments)
+        if feats_comm is None:
+            feats_comm = self._load_comment_features(comments)
 
         if audio_feats is not None:
             # cached GDT audio clip embeddings [b, nclips, da] through the
@@ -300,9 +321,12 @@ class PretrainedCLIP_finaltf(_CamRetrievalBase):
         branch_override: Optional[str] = None,
     ):
         feats_vis = self._encode_vis(vis)
-        feats_title = self.clip.encode_text(title).astype(jnp.float32)
+        feats_title, feats_comm = self._encode_title_and_comments(
+            title, comments
+        )
         feats_vis, feats_text = self._encode_with_comments(
-            feats_vis, feats_title, comments, train, branch_override, audio_feats
+            feats_vis, feats_title, comments, train, branch_override,
+            audio_feats, feats_comm=feats_comm,
         )
         return feats_vis, feats_text, self._sim(feats_vis, feats_text)
 
@@ -360,8 +384,11 @@ class PretrainedCLIP_TimeSformer_finaltf(_CamRetrievalBase):
         branch_override: Optional[str] = None,
     ):
         feats_vis = self.clip.encode_image(vis).astype(jnp.float32)
-        feats_title = self.clip.encode_text(title).astype(jnp.float32)
+        feats_title, feats_comm = self._encode_title_and_comments(
+            title, comments
+        )
         feats_vis, feats_text = self._encode_with_comments(
-            feats_vis, feats_title, comments, train, branch_override
+            feats_vis, feats_title, comments, train, branch_override,
+            feats_comm=feats_comm,
         )
         return feats_vis, feats_text, self._sim(feats_vis, feats_text)
