@@ -196,3 +196,33 @@ def test_param_shapes_match_init(models):
     ref_shapes = jax.tree_util.tree_map(lambda x: x.shape, init_vars["params"])
     got_shapes = jax.tree_util.tree_map(lambda x: x.shape, variables["params"])
     assert ref_shapes == got_shapes
+
+
+def test_bf16_close_to_fp32():
+    """The bf16 deployment config must track the fp32 model closely on
+    normalized embeddings (cosine > 0.995)."""
+    import jax
+
+    from vtc_tpu.models import create_model
+
+    m32, v32 = create_model("PretrainedCLIP", model_type="test-tiny", seed=0)
+    mbf, vbf = create_model(
+        "PretrainedCLIP", model_type="test-tiny", seed=0, dtype="bf16"
+    )
+    # same init seed -> identical fp32 params
+    for a, b in zip(
+        jax.tree_util.tree_leaves(v32["params"]),
+        jax.tree_util.tree_leaves(vbf["params"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    rng = np.random.default_rng(0)
+    vis = jnp.asarray(rng.normal(size=(4, 3, 32, 32)).astype(np.float32))
+    title = jnp.asarray(
+        rng.integers(1, 49405, size=(4, 77)).astype(np.int32)
+    )
+    f32 = m32.apply(v32, vis, title)
+    fbf = mbf.apply(vbf, vis, title)
+    for a, b in zip(f32[:2], fbf[:2]):  # normalized embeddings
+        cos = np.sum(np.asarray(a) * np.asarray(b), axis=-1)
+        assert (cos > 0.995).all(), cos
