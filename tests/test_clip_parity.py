@@ -226,3 +226,29 @@ def test_bf16_close_to_fp32():
     for a, b in zip(f32[:2], fbf[:2]):  # normalized embeddings
         cos = np.sum(np.asarray(a) * np.asarray(b), axis=-1)
         assert (cos > 0.995).all(), cos
+
+
+def test_activation_diff_harness(models):
+    """The layerwise parity harness aligns every block and reports fp32-level
+    diffs on the HF twin."""
+    from vtc_tpu.models.parity_harness import (
+        compare_clip_activations,
+        format_report,
+    )
+
+    hf, model, variables = models
+    rng = np.random.default_rng(2)
+    images = rng.normal(size=(2, 3, 32, 32)).astype(np.float32)
+    toks = _random_tokens(rng, batch=2)
+
+    report = compare_clip_activations(hf, model, variables, images, toks)
+    # every vision/text block + final embeddings aligned
+    keys = set(report)
+    assert ("visual", 0) in keys and ("visual", 1) in keys
+    assert ("text", 0) in keys and ("text", 1) in keys
+    assert ("visual", "embed") in keys and ("text", "embed") in keys
+    for key, stats in report.items():
+        assert "max_abs" in stats, (key, stats)
+        assert stats["max_abs"] < 1e-4, (key, stats)
+    text = format_report(report)
+    assert "visual.embed" in text
