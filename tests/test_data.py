@@ -259,3 +259,56 @@ def test_video_dataset_first1800(tmp_path):
     # [c, t, 112, 112] with at least min_nframes frames
     assert vid.shape[0] == 3 and vid.shape[2:] == (112, 112)
     assert vid.shape[1] >= 32
+
+
+def test_kinetics_and_howto100m_mixing(tmp_path):
+    """VideoDatasetSegments kinetics/howto100m training mix: split filters,
+    description-sentence pseudo-comments (dataset_loaders.py:294-351)."""
+    cv2 = pytest.importorskip("cv2")
+    del cv2
+    csv, root = _make_csv(tmp_path, make_mp4s=True)
+
+    kroot = tmp_path / "kinetics"
+    (kroot / "train").mkdir(parents=True)
+    import cv2 as _cv2
+
+    long_desc = "x" * 61
+    krows = []
+    for i, (k7, k4, path_part) in enumerate(
+        [
+            ("train", "train", "vids/train/a.mp4"),   # kept
+            ("train", None, "vids/train/b.mp4"),       # kept (k400 nan)
+            ("test", "train", "vids/train/c.mp4"),     # dropped (k700 test)
+            ("train", "train", "vids/test/d.mp4"),     # dropped (path not /train/)
+        ]
+    ):
+        vp = kroot / path_part
+        vp.parent.mkdir(exist_ok=True, parents=True)
+        vw = _cv2.VideoWriter(str(vp), _cv2.VideoWriter_fourcc(*"mp4v"), 30, (32, 32))
+        for f in range(30):
+            vw.write(np.full((32, 32, 3), 100, np.uint8))
+        vw.release()
+        krows.append(
+            {
+                "video_path": path_part,
+                "split_k700": k7,
+                "split_k400": k4,
+                "title_en": f"kinetics video {i}",
+                "video_length": 1.0,
+                "comments": '["a comment"]',
+                "description_en": f"{long_desc}. short",
+            }
+        )
+    kcsv = tmp_path / "kinetics.csv"
+    pd.DataFrame(krows).to_csv(kcsv, index=False)
+
+    ds = VideoDatasetSegments(
+        str(csv), str(root), train=True, use_kinetics_train="combine",
+        kinetics_csv=str(kcsv), kinetics_root=str(kroot),
+        add_comments="always", num_comms=2,
+    )
+    n_reddit = 28  # train split of the 36-row corpus
+    assert len(ds) == n_reddit + 2
+    # kinetics entries carry id -1 and description pseudo-comments
+    assert ds.ids[-1] == -1
+    assert any(long_desc in c for c in ds.comments[-1])
