@@ -46,17 +46,39 @@ def run(batch, iters, warmup, dtype_name):
     @jax.jit
     def fwd_n(variables, vis, title, comments, n):
         def body(i, carry):
-            v = vis + carry * 1e-12  # consume carry: keeps iterations ordered
-            feats_vis, feats_text, sim = module.apply(variables, v, title, comments)
+            # EVERY input must depend on the carry, otherwise XLA hoists the
+            # corresponding tower out of the loop and the bench overstates
+            # throughput (caught: loop-invariant tokens let the whole text
+            # tower run once instead of per iteration).
+            v = vis + carry * 1e-12
+            tok_eps = (carry * 1e-12).astype(jnp.int32)  # == 0, but data-dependent
+            t = title + tok_eps
+            c = comments + tok_eps
+            feats_vis, feats_text, sim = module.apply(variables, v, t, c)
             return jnp.sum(sim).astype(vis.dtype)
 
         # dynamic loop bound: warmup and timed calls share one executable
         return jax.lax.fori_loop(0, n, body, jnp.zeros((), vis.dtype))
 
+    # realistic text lengths: VTC titles/comments are short (~15 BPE tokens)
+    # and the eval CLI truncates to the EOT bucket (exactness-preserving —
+    # the causal tower never reads past EOT); the bench models the same
+    # workload. Set BENCH_FULL_CONTEXT=1 for the worst-case 77-token run.
     rng = np.random.default_rng(0)
     vis = jnp.asarray(rng.normal(size=(batch, 3, 224, 224)).astype(np.float32))
-    title = jnp.asarray(rng.integers(1, 49405, size=(batch, 77)).astype(np.int32))
-    comments = jnp.asarray(rng.integers(1, 49405, size=(batch, 5, 77)).astype(np.int32))
+    import os as _os
+
+    ntoks = 77 if _os.environ.get("BENCH_FULL_CONTEXT") == "1" else 16
+
+    def make_tokens(lead, n_real=14):
+        toks = np.zeros(lead + (ntoks,), np.int32)
+        toks[..., 0] = 49406
+        toks[..., 1 : 1 + n_real] = rng.integers(1, 49405, lead + (n_real,))
+        toks[..., 1 + n_real] = 49407
+        return jnp.asarray(toks)
+
+    title = make_tokens((batch,))
+    comments = make_tokens((batch, 5))
 
     # synchronize via an explicit host transfer: block_until_ready is not
     # reliable on all experimental PJRT backends
