@@ -114,9 +114,9 @@ def _measure_cpu() -> float:
 
 
 def main():
-    # sweep on v5e: 96 -> 6734 pairs/s, 64 -> 6517, 128 -> 5474, 80 -> 5378,
-    # 256 -> 5410 (batch*heads = 1152 = 9*128 tiles the attention batch well)
-    batch = int(os.environ.get("BENCH_BATCH", 96))
+    # fixed-harness sweep on v5e (realistic 16-token texts):
+    # 128 -> 5054 pairs/s, 64 -> 4597, 96 -> 4567, 256 -> 4210
+    batch = int(os.environ.get("BENCH_BATCH", 128))
     iters = int(os.environ.get("BENCH_ITERS", 16))
 
     ns = {}
