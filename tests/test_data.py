@@ -312,3 +312,23 @@ def test_kinetics_and_howto100m_mixing(tmp_path):
     # kinetics entries carry id -1 and description pseudo-comments
     assert ds.ids[-1] == -1
     assert any(long_desc in c for c in ds.comments[-1])
+
+
+def test_grain_loader_matches_interface(tmp_path):
+    pytest.importorskip("grain")
+    from vtc_tpu.data.loader import GrainDataLoader
+
+    csv, root = _make_csv(tmp_path, make_jpgs=True)
+    ds = ImTextDataset(
+        str(csv), str(root), train=True, add_comments="always", num_comms=2,
+        comment_sampling=None,
+    )
+    loader = GrainDataLoader(ds, batch_size=8, shuffle=True, drop_last=True,
+                             num_workers=0)
+    assert len(loader) == len(ds) // 8
+    batches = list(loader)
+    assert len(batches) == len(loader)
+    vis, title, comments, meta = batches[0]
+    assert np.asarray(vis).shape == (8, 3, 224, 224)
+    assert np.asarray(title).shape == (8, 77)
+    assert np.asarray(comments).shape == (8, 2, 77)

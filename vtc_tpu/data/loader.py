@@ -162,3 +162,72 @@ def prefetch_to_device(iterator, mesh=None, size: int = 2):
         if len(buf) > size:
             yield buf.pop(0)
     yield from buf
+
+
+class GrainDataLoader:
+    """grain-backed loader: true multiprocess workers (the BPE tokenizer and
+    RAKE fallback are GIL-bound Python, so the threaded loader can't scale
+    them; grain workers are processes, like the reference's DataLoader
+    workers but without its fd/thread workarounds).
+
+    Same interface as :class:`DataLoader`; collation is grain's Batch
+    transform over the dataset's numpy outputs.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        num_workers: int = 4,
+        seed: int = 0,
+        shard_by_process: bool = False,
+        **_,
+    ):
+        import grain.python as gp
+
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self._gp = gp
+        self.num_workers = max(int(num_workers), 0)
+        self.seed = seed
+        self._epoch = 0
+        if shard_by_process:
+            import jax
+
+            self._shard = gp.ShardOptions(
+                shard_index=jax.process_index(),
+                shard_count=jax.process_count(),
+                drop_remainder=True,
+            )
+        else:
+            self._shard = gp.NoSharding()
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        gp = self._gp
+        self._epoch += 1
+        sampler = gp.IndexSampler(
+            num_records=len(self.dataset),
+            shuffle=self.shuffle,
+            seed=self.seed + self._epoch,
+            num_epochs=1,
+            shard_options=self._shard,
+        )
+        loader = gp.DataLoader(
+            data_source=self.dataset,
+            sampler=sampler,
+            operations=[
+                gp.Batch(batch_size=self.batch_size, drop_remainder=self.drop_last)
+            ],
+            worker_count=self.num_workers,
+        )
+        yield from loader
