@@ -65,7 +65,12 @@ def main(config: ConfigParser):
     dataset = config.init_obj("dataset", module_data)
     valid_dataset = config.init_obj("dataset", module_data, train=False)
 
-    data_loader = DataLoader(
+    loader_cls = DataLoader
+    if config.get("loader", "threads") == "grain":
+        from vtc_tpu.data.loader import GrainDataLoader
+
+        loader_cls = GrainDataLoader
+    data_loader = loader_cls(
         dataset,
         batch_size=config["batch_size"],
         num_workers=config.get("num_workers", 4),
@@ -73,7 +78,7 @@ def main(config: ConfigParser):
         drop_last=True,
         seed=seed_value,
     )
-    valid_data_loader = DataLoader(
+    valid_data_loader = loader_cls(
         valid_dataset,
         batch_size=config["batch_size"],
         num_workers=config.get("num_workers", 4),
