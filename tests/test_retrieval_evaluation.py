@@ -160,3 +160,58 @@ def test_retrieval_evaluation_image_branch(cam_model):
         branch_override="text",
     )
     assert not np.allclose(outdf.to_numpy(), outdf_t.to_numpy())
+
+
+def test_load_model_from_orbax_checkpoint(tmp_path):
+    """evaluation/retrieval_evaluation.py's load_model: arch mapping, ckpt
+    graft, init_from_avg picked up from the saved config."""
+    import sys
+    from pathlib import Path as P
+
+    repo = P(__file__).resolve().parents[1]
+    sys.path.insert(0, str(repo / "evaluation"))
+    import importlib
+
+    re_cli = importlib.import_module("retrieval_evaluation")
+
+    from vtc_tpu.training.checkpoints import save_checkpoint
+
+    module, variables = create_model(
+        "PretrainedCLIP_finaltf", model_type=TINY, seed=9
+    )
+    save_checkpoint(
+        tmp_path, "model_best", arch="PretrainedCLIP_finaltf", epoch=4,
+        params=variables["params"], opt_state=None,
+        config={"arch": {"type": "PretrainedCLIP_finaltf",
+                         "args": {"init_from_avg": True,
+                                  "model_type": TINY}}},
+    )
+
+    # load_model builds the full-size arch by default; monkeypatch the
+    # kwargs through residual_activation and use the tiny type via
+    # MODEL_TYPES is fixed -> call create through load_model with tiny
+    # by temporarily overriding the registry entry
+    orig = re_cli.MODEL_TYPES["pretrained_clip_finaltf"]
+    try:
+        import vtc_tpu.models.factory as factory
+
+        orig_create = factory.create_model
+
+        def tiny_create(arch, **kw):
+            kw.setdefault("model_type", TINY)
+            return orig_create(arch, **kw)
+
+        re_cli.create_model = tiny_create
+        mod2, vars2 = re_cli.load_model(
+            tmp_path / "model_best", "pretrained_clip_finaltf",
+            branch_to_adapt="text", residual_activation=None,
+        )
+    finally:
+        re_cli.MODEL_TYPES["pretrained_clip_finaltf"] = orig
+        re_cli.create_model = orig_create
+
+    assert mod2.init_from_avg is True
+    np.testing.assert_array_equal(
+        np.asarray(vars2["params"]["cam"]["mask_embedding"]),
+        np.asarray(variables["params"]["cam"]["mask_embedding"]),
+    )
