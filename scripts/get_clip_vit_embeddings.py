@@ -26,6 +26,7 @@ def main():
     ap.add_argument("--batch_size", type=int, default=96)
     ap.add_argument("--num_workers", type=int, default=13)
     ap.add_argument("--model_type", default="ViT-B/32")
+    ap.add_argument("--image_size", type=int, default=224)
     ap.add_argument("--clip_weights", default=None)
     ap.add_argument("--bf16", action="store_true", default=True)
     args = ap.parse_args()
@@ -66,7 +67,7 @@ def main():
             return len(filenames)
 
         def __getitem__(self, i):
-            return clip_preprocess(Image.open(filenames[i]))
+            return clip_preprocess(Image.open(filenames[i]), args.image_size)
 
     loader = DataLoader(
         DS(), batch_size=args.batch_size, num_workers=args.num_workers
