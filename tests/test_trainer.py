@@ -526,3 +526,64 @@ def test_training_determinism(tmp_path):
     p1, p2 = run(), run()
     for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
         np.testing.assert_array_equal(a, b)
+
+
+def test_trainer_resume_roundtrip(tmp_path):
+    """Resume semantics: epoch pointer, monitor best, params restored
+    (base_trainer.py:147-219)."""
+    csv = _make_features_fixture(tmp_path)
+    config = _min_config(tmp_path, epochs=1)
+
+    module, variables = create_model(
+        "PretrainedCLIP_finaltf", model_type=TINY, freeze="all", seed=0
+    )
+    train_ds = _FeatureCommentDataset(csv, str(tmp_path / "vis.npz"), train=True)
+    loader = DataLoader(train_ds, batch_size=8, shuffle=True, drop_last=True,
+                        num_workers=0)
+    tx = build_optimizer(
+        variables["params"], config["optimizer"], config["lr_scheduler"],
+        steps_per_epoch=len(loader), branch_to_freeze="all",
+    )
+    t1 = Trainer(module, variables, clip_loss, [], tx, config, loader,
+                 arch_name="PretrainedCLIP_finaltf")
+    t1.train()
+    ckpt = config.save_dir / "checkpoint-epoch1"
+    assert ckpt.exists()
+
+    class _Cfg:
+        pass
+
+    config2 = _min_config(tmp_path, epochs=3)
+    config2.resume = ckpt
+    module2, variables2 = create_model(
+        "PretrainedCLIP_finaltf", model_type=TINY, freeze="all", seed=99
+    )
+    t2 = Trainer(module2, variables2, clip_loss, [], tx, config2, loader,
+                 arch_name="PretrainedCLIP_finaltf")
+    assert t2.start_epoch == 2
+    np.testing.assert_array_equal(
+        np.asarray(t2.state.params["cam"]["mask_embedding"]),
+        np.asarray(t1.state.params["cam"]["mask_embedding"]),
+    )
+
+
+def test_trainer_iteration_based_mode(tmp_path):
+    """len_epoch (inf_loop) mode: an epoch is len_epoch batches regardless of
+    dataset size (trainer/trainer.py:37-43)."""
+    csv = _make_features_fixture(tmp_path)
+    config = _min_config(tmp_path, epochs=1)
+    module, variables = create_model(
+        "PretrainedCLIP_finaltf", model_type=TINY, freeze="all", seed=0
+    )
+    ds = _FeatureCommentDataset(csv, str(tmp_path / "vis.npz"), train=True)
+    loader = DataLoader(ds, batch_size=8, shuffle=True, drop_last=True,
+                        num_workers=0)
+    tx = build_optimizer(
+        variables["params"], config["optimizer"], None, 1,
+        branch_to_freeze="all",
+    )
+    t = Trainer(module, variables, clip_loss, [], tx, config, loader,
+                len_epoch=7, arch_name="x")
+    assert t.len_epoch == 7
+    log = t.train()
+    assert int(t.state.step) >= 7  # ran past one natural epoch (3 batches)
