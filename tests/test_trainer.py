@@ -587,3 +587,44 @@ def test_trainer_iteration_based_mode(tmp_path):
     assert t.len_epoch == 7
     log = t.train()
     assert int(t.state.step) >= 7  # ran past one natural epoch (3 batches)
+
+
+def test_train_step_with_stateful_bn_activation(tmp_path):
+    """residual_activation='bn' carries BatchNorm running stats through the
+    compiled train step (mutable batch_stats collection)."""
+    module, variables = create_model(
+        "PretrainedCLIP_finaltf", model_type=TINY, freeze="all",
+        residual_activation="bn", random_skip_adapter=False, seed=0,
+    )
+    assert "batch_stats" in variables
+
+    from vtc_tpu.training.trainer import TrainState, make_step_fns
+
+    tx = build_optimizer(
+        variables["params"], {"type": "Adam", "args": {"lr": 1e-2}},
+        None, 1, branch_to_freeze="all",
+    )
+    train_step, eval_step = make_step_fns(module, clip_loss, tx, donate=False)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=variables["params"],
+        opt_state=tx.init(variables["params"]),
+        batch_stats=variables["batch_stats"],
+    )
+    rng = np.random.default_rng(0)
+    data = (
+        jnp.asarray(rng.normal(size=(8, 32)).astype(np.float32)),
+        jnp.asarray(tk.tokenize([f"t {i}" for i in range(8)])),
+        jnp.asarray(np.stack([tk.tokenize(["c", ""]) for _ in range(8)])),
+    )
+    stats0 = jax.tree_util.tree_map(np.asarray, state.batch_stats)
+    state, loss, _ = train_step(state, data, {}, jax.random.PRNGKey(0))
+    stats1 = jax.tree_util.tree_map(np.asarray, state.batch_stats)
+    # running stats moved
+    assert not np.allclose(
+        np.asarray(jax.tree_util.tree_leaves(stats0)[0]),
+        np.asarray(jax.tree_util.tree_leaves(stats1)[0]),
+    )
+    # eval uses the running stats, deterministic
+    l1, out1 = eval_step(state, data, {})
+    l2, out2 = eval_step(state, data, {})
+    np.testing.assert_allclose(np.asarray(out1[2]), np.asarray(out2[2]))
