@@ -103,6 +103,40 @@ def test_graft_entry_dryrun():
     ge.dryrun_multichip(8)
 
 
+def test_graft_entry_dryrun_driver_call_path():
+    """Replicate the DRIVER's exact invocation: a fresh process where the
+    default (possibly TPU) backend initializes first and conftest's CPU-mesh
+    bootstrap never runs — dryrun_multichip must self-bootstrap. Round-1
+    shipped with this path broken (MULTICHIP_r01.json ok=false) because only
+    the conftest-forced path was tested."""
+    import os
+    import subprocess
+    import sys
+
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "JAX_NUM_CPU_DEVICES")
+    }
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(__file__))
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            # pre-initialize the default backend before calling dryrun, as
+            # the driver process does (sitecustomize + any jax use)
+            "import jax; jax.devices(); "
+            "import __graft_entry__ as g; g.dryrun_multichip(8)",
+        ],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=560,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "dryrun_multichip(8) ok" in proc.stdout
+
+
 def test_entry_compiles_tiny():
     """entry() builds the full ViT-B/32 model — too heavy for unit tests —
     so compile-check the same forward at the tiny variant here."""
