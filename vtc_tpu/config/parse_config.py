@@ -1,16 +1,19 @@
 """Config / flag system.
 
-Mirrors the public surface of the reference's ``utils/parse_config.py:13-187``:
+Behavior-compatible with the reference's ``utils/parse_config.py:13-187``
+(the config surface is part of the experiment contract):
 
 * JSONC config files with sections name/batch_size/arch/dataset/optimizer/
   loss/metrics/lr_scheduler/trainer.
 * CLI overrides declared as ``CustomArgs(flags, type, target)`` tuples where
   ``target`` is a ``;``-separated path into the config tree
   (``utils/parse_config.py:162-187``).
-* Run directories ``save_dir/models/<name>/<NNN_MonDD_HH:MM>/`` with both a
-  sequence number and timestamp (``utils/parse_config.py:33-50``), the merged
-  config re-serialized into the run dir as ``config.json``.
-* ``-r/--resume`` re-reads the run's saved ``config.json``
+* Run directories ``save_dir/models/<name>/<NNN_MonDD_HH:MM>/`` carrying a
+  monotonically increasing sequence number plus a timestamp
+  (``utils/parse_config.py:33-50``), with the merged config re-serialized
+  into the run dir as ``config.json``.
+* ``-r/--resume`` re-reads the run's saved ``config.json``; passing ``-c``
+  alongside ``-r`` overlays the new file for fine-tuning
   (``utils/parse_config.py:77-89``).
 * Reflective construction ``init_obj``/``init_ftn``
   (``utils/parse_config.py:97-129``).
@@ -22,115 +25,137 @@ not an env var).
 
 from __future__ import annotations
 
-import collections
+import functools
 import logging
-import os
 import re
-from datetime import datetime
-from functools import partial, reduce
-from operator import getitem
 from pathlib import Path
+from typing import NamedTuple, Optional
 
 from ..utils import read_json, setup_logging, write_json
 
-CustomArgs = collections.namedtuple("CustomArgs", "flags type target")
+
+class CustomArgs(NamedTuple):
+    """One CLI override: argparse flags, value type, ``;``-path into the config."""
+
+    flags: list
+    type: type
+    target: str
+
+
+_RUN_DIR_RE = re.compile(r"(\d+)_[A-Za-z]{3}\d{2}_\d{2}:\d{2}\Z")
+_LOG_LEVELS = (logging.WARNING, logging.INFO, logging.DEBUG)
+
+
+def _next_run_id(exp_dir: Path) -> str:
+    """``NNN_MonDD_HH:MM`` — sequence number continues from existing runs."""
+    from datetime import datetime
+
+    last = 0
+    if exp_dir.is_dir():
+        for child in exp_dir.iterdir():
+            m = _RUN_DIR_RE.match(child.name)
+            if m:
+                last = max(last, int(m.group(1)))
+    return f"{last + 1:03d}_{datetime.now():%b%d_%H:%M}"
+
+
+def _override(cfg: dict, path: str, value) -> None:
+    """Assign ``value`` at the ``;``-separated ``path`` inside ``cfg``."""
+    node = cfg
+    *parents, leaf = path.split(";")
+    for key in parents:
+        node = node[key]
+    node[leaf] = value
 
 
 class ConfigParser:
+    """Parsed experiment config + run directory + reflective construction."""
+
     def __init__(self, config, resume=None, modification=None, run_id=None):
-        self._config = _update_config(config, modification)
+        if modification:
+            for path, value in modification.items():
+                if value is not None:
+                    _override(config, path, value)
+        self._config = config
         self.resume = resume
+        self.log_levels = dict(enumerate(_LOG_LEVELS))
 
-        save_dir = Path(self.config["trainer"]["save_dir"])
-        exper_name = self.config["name"]
-        exp_dir = save_dir / "models" / exper_name
-
+        exp_dir = Path(config["trainer"]["save_dir"]) / "models" / config["name"]
         if run_id is None:
-            # Human-friendly run id with both sequence and timestamp,
-            # e.g. 001_Jan05_16:55 (same scheme as the reference).
-            ts = datetime.now().strftime("%b%d_%H:%M")
-            pattern = r"^\d+_\w\w\w\d\d_\d\d:\d\d$"
-            num = 1
-            if exp_dir.exists():
-                folders = [x for x in os.listdir(exp_dir) if re.match(pattern, x)]
-                ints = [int(x.split("_")[0]) for x in folders]
-                if ints:
-                    num = max(ints) + 1
-            run_id = "%03d_%s" % (num, ts)
+            run_id = _next_run_id(exp_dir)
+        run_dir = exp_dir / run_id
+        # an explicit empty run_id reuses exp_dir itself (no fresh-dir guard)
+        run_dir.mkdir(parents=True, exist_ok=(run_id == ""))
+        self._run_dir = run_dir
 
-        self._save_dir = exp_dir / run_id
-        self._log_dir = exp_dir / run_id
-
-        exist_ok = run_id == ""
-        self.save_dir.mkdir(parents=True, exist_ok=exist_ok)
-        self.log_dir.mkdir(parents=True, exist_ok=True)
-
-        write_json(self.config, self.save_dir / "config.json")
-
-        setup_logging(self.log_dir)
-        self.log_levels = {0: logging.WARNING, 1: logging.INFO, 2: logging.DEBUG}
+        write_json(config, run_dir / "config.json")
+        setup_logging(run_dir)
 
     @classmethod
     def from_args(cls, args, options=()):
-        """Initialize from CLI arguments (used by train.py / eval.py)."""
+        """Build from an argparse parser (train.py / eval.py entry points)."""
         for opt in options:
             args.add_argument(*opt.flags, default=None, type=opt.type)
-        if not isinstance(args, tuple):
-            args = args.parse_args()
+        parsed = args if isinstance(args, tuple) else args.parse_args()
 
-        if getattr(args, "resume", None) is not None:
-            resume = Path(args.resume)
-            cfg_fname = resume.parent / "config.json"
+        resume = getattr(parsed, "resume", None)
+        explicit_cfg = getattr(parsed, "config", None)
+        if resume is not None:
+            resume = Path(resume)
+            config = read_json(resume.parent / "config.json")
+            if explicit_cfg:  # fine-tuning: overlay the new config file
+                config.update(read_json(explicit_cfg))
         else:
-            msg_no_cfg = (
-                "Configuration file needs to be specified. "
-                "Add '-c config.jsonc', for example."
-            )
-            assert args.config is not None, msg_no_cfg
-            resume = None
-            cfg_fname = Path(args.config)
+            if explicit_cfg is None:
+                raise AssertionError(
+                    "Configuration file needs to be specified. "
+                    "Add '-c config.jsonc', for example."
+                )
+            config = read_json(explicit_cfg)
 
-        config = read_json(cfg_fname)
-        if getattr(args, "config", None) and resume:
-            # update new config for fine-tuning
-            config.update(read_json(args.config))
-
-        modification = {
-            opt.target: getattr(args, _get_opt_name(opt.flags)) for opt in options
-        }
+        parsed_vars = vars(parsed)
+        modification = {}
+        for opt in options:
+            long_flags = [f for f in opt.flags if f.startswith("--")]
+            dest = (long_flags[0] if long_flags else opt.flags[0]).lstrip("-")
+            modification[opt.target] = parsed_vars[dest]
         return cls(config, resume, modification)
+
+    # -- reflective construction ------------------------------------------
+
+    def _resolve(self, name: str, kwargs: dict):
+        section = self[name]
+        call_args = dict(section["args"])
+        clashes = set(kwargs) & set(call_args)
+        assert not clashes, (
+            f"Overwriting kwargs given in config file is not allowed: {clashes}"
+        )
+        call_args.update(kwargs)
+        return section["type"], call_args
 
     def init_obj(self, name, module, *args, **kwargs):
         """``config.init_obj('arch', models)`` == ``models.<type>(**args)``."""
-        module_name = self[name]["type"]
-        module_args = dict(self[name]["args"])
-        assert all(
-            k not in module_args for k in kwargs
-        ), "Overwriting kwargs given in config file is not allowed"
-        module_args.update(kwargs)
-        return getattr(module, module_name)(*args, **module_args)
+        type_name, call_args = self._resolve(name, kwargs)
+        return getattr(module, type_name)(*args, **call_args)
 
     def init_ftn(self, name, module, *args, **kwargs):
-        module_name = self[name]["type"]
-        module_args = dict(self[name]["args"])
-        assert all(
-            k not in module_args for k in kwargs
-        ), "Overwriting kwargs given in config file is not allowed"
-        module_args.update(kwargs)
-        return partial(getattr(module, module_name), *args, **module_args)
+        """Like ``init_obj`` but returns a partial instead of calling."""
+        type_name, call_args = self._resolve(name, kwargs)
+        return functools.partial(getattr(module, type_name), *args, **call_args)
+
+    # -- dict-like access ---------------------------------------------------
 
     def __getitem__(self, name):
-        return self.config[name]
+        return self._config[name]
 
     def get(self, name, default=None):
-        return self.config.get(name, default)
+        return self._config.get(name, default)
 
     def get_logger(self, name, verbosity=2):
-        msg = (
+        assert verbosity in self.log_levels, (
             f"verbosity option {verbosity} is invalid. "
-            f"Valid options are {self.log_levels.keys()}."
+            f"Valid options are {list(self.log_levels)}."
         )
-        assert verbosity in self.log_levels, msg
         logger = logging.getLogger(name)
         logger.setLevel(self.log_levels[verbosity])
         return logger
@@ -140,34 +165,9 @@ class ConfigParser:
         return self._config
 
     @property
-    def save_dir(self):
-        return self._save_dir
+    def save_dir(self) -> Path:
+        return self._run_dir
 
     @property
-    def log_dir(self):
-        return self._log_dir
-
-
-def _update_config(config, modification):
-    if modification is None:
-        return config
-    for k, v in modification.items():
-        if v is not None:
-            _set_by_path(config, k, v)
-    return config
-
-
-def _get_opt_name(flags):
-    for flg in flags:
-        if flg.startswith("--"):
-            return flg.replace("--", "")
-    return flags[0].replace("--", "")
-
-
-def _set_by_path(tree, keys, value):
-    keys = keys.split(";")
-    _get_by_path(tree, keys[:-1])[keys[-1]] = value
-
-
-def _get_by_path(tree, keys):
-    return reduce(getitem, keys, tree)
+    def log_dir(self) -> Path:
+        return self._run_dir

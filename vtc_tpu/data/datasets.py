@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import ast
 import json
+import logging
 import os
 from typing import List
 
@@ -41,6 +42,8 @@ from .video import (
     read_video_full,
     read_video_segment,
 )
+
+_logger = logging.getLogger(__name__)
 
 
 class VisionTitleCommentDatasetBase:
@@ -96,68 +99,69 @@ class VisionTitleCommentDatasetBase:
         )
 
     def _load_reddit(self, df, file_extension: str = ".mp4"):
-        files = [x[len("results/"):-4] + file_extension for x in df.video_path]
-        exists = np.array(
-            [os.path.exists(os.path.join(self.root, x)) for x in files]
-        )
-        if exists.sum() != len(files):
-            print("%d files found out of %d in CSV" % (exists.sum(), len(files)))
-        df = df[exists]
-        files2 = [x[len("results/"):-4] + file_extension for x in df.video_path]
-        self.filenames += [os.path.join(self.root, x) for x in files2]
-        self.ids += df.reddit_id.to_list()
-        self.titles += df.title.to_list()
-        self.video_lengths += df.video_length.to_list()
-        self.comments += [ast.literal_eval(c) for c in df.comments]
-        print(len(self.ids), "reddit videos")
+        """Append the reddit rows whose media exist under ``self.root``.
+
+        The CSV's ``video_path`` column stores ``results/<id>.<orig-ext>``;
+        the dataset's media carry ``file_extension`` instead (e.g. ``.jpg``
+        thumbnails for the image datasets). Behavior of
+        ``dataset_loaders.py:279-293``. Returns the filtered frame.
+        """
+        rel = df.video_path.str[len("results/"):-4] + file_extension
+        paths = rel.map(lambda r: os.path.join(self.root, r))
+        present = paths.map(os.path.exists).to_numpy()
+        if not present.all():
+            _logger.warning(
+                "reddit media: only %d of %d CSV rows found under %s",
+                int(present.sum()), len(df), self.root,
+            )
+        df, paths = df[present], paths[present]
+        self.filenames.extend(paths.tolist())
+        self.ids.extend(df.reddit_id.tolist())
+        self.titles.extend(df.title.tolist())
+        self.video_lengths.extend(df.video_length.tolist())
+        self.comments.extend(df.comments.map(ast.literal_eval).tolist())
+        _logger.info("%d reddit videos", len(self.ids))
         return df
 
+    def _append_mix_rows(self, df, root, title_col: str, desc_col: str) -> int:
+        """Shared appender for the kinetics/howto100m training mixes: every
+        on-disk row joins the corpus with id -1 (non-reddit marker), its JSON
+        comments, and long description sentences as pseudo-comments
+        (``dataset_loaders.py:294-351``)."""
+        kept = 0
+        for row in df.itertuples(index=False):
+            path = os.path.join(root, row.video_path)
+            if not os.path.exists(path):
+                continue
+            comms = [] if pd.isna(row.comments) else json.loads(row.comments)
+            desc = getattr(row, desc_col)
+            if not pd.isna(desc):
+                comms += [s.strip() for s in desc.split(".") if len(s) > 60]
+            self.filenames.append(path)
+            self.ids.append(-1)
+            self.titles.append(getattr(row, title_col))
+            self.video_lengths.append(row.video_length)
+            self.comments.append(comms)
+            kept += 1
+        return kept
+
     def _load_kinetics(self, df):
-        """Kinetics training mix with description-sentence pseudo-comments
-        (``dataset_loaders.py:294-324``)."""
-        nk = 0
-        for ki in range(len(df)):
-            row = df.iloc[ki]
-            vp = os.path.join(self.kinetics_root, row.video_path)
-            istrain = (
-                row.split_k700 == "train"
-                and (row.split_k400 == "train" or pd.isna(row.split_k400))
-                and "/train/" in row.video_path
-            )
-            if istrain and os.path.exists(vp):
-                self.filenames.append(vp)
-                self.ids.append(-1)
-                self.titles.append(row.title_en)
-                self.video_lengths.append(row.video_length)
-                comms = [] if pd.isna(row.comments) else json.loads(row.comments)
-                if not pd.isna(row.description_en):
-                    comms.extend(
-                        x.strip()
-                        for x in row.description_en.split(".")
-                        if len(x) > 60
-                    )
-                self.comments.append(comms)
-                nk += 1
-        print(nk, "kinetics videos")
+        # train rows only: k700-train, k400-train-or-unknown, /train/ path
+        in_train = (
+            (df.split_k700 == "train")
+            & ((df.split_k400 == "train") | df.split_k400.isna())
+            & df.video_path.str.contains("/train/", regex=False)
+        )
+        n = self._append_mix_rows(
+            df[in_train], self.kinetics_root, "title_en", "description_en"
+        )
+        _logger.info("kinetics mix: %d videos", n)
 
     def _load_howto100m(self, df):
-        nk = 0
-        for ki in range(len(df)):
-            row = df.iloc[ki]
-            vp = os.path.join(self.howto100m_root, row.video_path)
-            if os.path.exists(vp):
-                self.filenames.append(vp)
-                self.ids.append(-1)
-                self.titles.append(row.title)
-                self.video_lengths.append(row.video_length)
-                comms = [] if pd.isna(row.comments) else json.loads(row.comments)
-                if not pd.isna(row.description):
-                    comms.extend(
-                        x.strip() for x in row.description.split(".") if len(x) > 60
-                    )
-                self.comments.append(comms)
-                nk += 1
-        print(nk, "howto100m videos")
+        n = self._append_mix_rows(
+            df, self.howto100m_root, "title", "description"
+        )
+        _logger.info("howto100m mix: %d videos", n)
 
     def _read_video(self, idx) -> np.ndarray:
         vid = read_segment_with_fallbacks(
