@@ -215,3 +215,45 @@ def test_load_model_from_orbax_checkpoint(tmp_path):
         np.asarray(vars2["params"]["cam"]["mask_embedding"]),
         np.asarray(variables["params"]["cam"]["mask_embedding"]),
     )
+
+
+def test_fwd_cache_no_cross_model_hit():
+    """Two models with different configs must never share a compiled eval
+    forward (round-1 keyed a side cache on id(module), which can alias after
+    GC). The module is now a static jit argument: jax keys compilations on
+    the module's config-value hash, so cross-model aliasing is structurally
+    impossible and equal-config modules share correctly."""
+    import jax.numpy as jnp
+
+    from vtc_tpu.evaluation.retrieval_eval import make_eval_forward
+
+    mod_a, vars_a = create_model("PretrainedCLIP", model_type=TINY, seed=0)
+    mod_b, vars_b = create_model(
+        "PretrainedCLIP_finaltf", model_type=TINY, seed=0,
+        branch_to_adapt="text", random_skip_adapter=False,
+    )
+
+    fwd_a = make_eval_forward(mod_a, vars_a, None)
+    fwd_b = make_eval_forward(mod_b, vars_b, None)
+
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.normal(size=(2, 3, RES, RES)).astype(np.float32))
+    caps = jnp.asarray(tk.tokenize(["a", "b"]))
+    comments = jnp.asarray(tk.tokenize(["c", "d"]))[None].repeat(2, 0)
+
+    va, ta = fwd_a(frames, caps, comments, needs_comments=False)
+    vb, tb = fwd_b(frames, caps, comments[:, :1], needs_comments=True)
+    # different architectures -> adapted text features differ
+    assert not np.allclose(np.asarray(ta), np.asarray(tb))
+
+    # interleaved re-use must keep returning each model's own result
+    va2, ta2 = fwd_a(frames, caps, comments, needs_comments=False)
+    np.testing.assert_array_equal(np.asarray(ta), np.asarray(ta2))
+
+    # an equal-config module (linen value equality) shares the jit entry
+    mod_a2, _ = create_model("PretrainedCLIP", model_type=TINY, seed=1)
+    assert mod_a2 == mod_a and hash(mod_a2) == hash(mod_a)
+    va3, ta3 = make_eval_forward(mod_a2, vars_a, None)(
+        frames, caps, comments, needs_comments=False
+    )
+    np.testing.assert_array_equal(np.asarray(ta), np.asarray(ta3))

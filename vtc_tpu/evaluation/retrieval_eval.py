@@ -75,34 +75,36 @@ def chunk_frames(frames: np.ndarray, frame_stride: int, nframes: int = NFRAMES):
     return np.stack(chunks)
 
 
-_FWD_CACHE: dict = {}
+@partial(
+    jax.jit,
+    static_argnums=(0,),
+    static_argnames=("branch_override", "needs_comments"),
+)
+def _eval_forward(
+    module, variables, frames, captions, comments, branch_override, needs_comments
+):
+    if needs_comments:
+        out = module.apply(
+            variables, frames, captions, comments,
+            branch_override=branch_override,
+        )
+    else:
+        out = module.apply(variables, frames, captions)
+    return out[0], out[1]
 
 
 def make_eval_forward(module, variables, branch_override: Optional[str]):
     """Bucketed, jit-compiled forward: (frames[nchunk_b, 8, ...],
     captions[ncap_b, 77], comments[nc, 5, 77]) -> (feats_vis, feats_text).
 
-    Params are jit arguments (closures would bake them into the HLO); the
-    jitted function is cached per (module, branch) so repeated probe calls
-    (every epoch, twice) reuse compilations."""
-    key = (id(module), branch_override)
-    fwd = _FWD_CACHE.get(key)
-    if fwd is None:
-
-        @partial(jax.jit, static_argnames=("needs_comments",))
-        def fwd(variables, frames, captions, comments, needs_comments):
-            if needs_comments:
-                out = module.apply(
-                    variables, frames, captions, comments,
-                    branch_override=branch_override,
-                )
-            else:
-                out = module.apply(variables, frames, captions)
-            return out[0], out[1]
-
-        _FWD_CACHE[key] = fwd
-
-    return partial(fwd, variables)
+    Params are jit arguments (closures would bake them into the HLO). The
+    module itself is a STATIC jit argument: linen modules hash by config
+    value and ``apply`` is pure in (config, variables), so jit's own cache
+    keys compilations correctly per model — unlike round-1's id()-keyed
+    side cache, where a GC'd id could alias a different model."""
+    return partial(
+        _eval_forward, module, variables, branch_override=branch_override
+    )
 
 
 def retrieval_evaluation(
@@ -219,7 +221,7 @@ def retrieval_evaluation(
             jnp.asarray(comm) if comm is not None else jnp.zeros(
                 (captions_p.shape[0], N_COMMENTS, 77), jnp.int32
             ),
-            needs_comments,
+            needs_comments=needs_comments,
         )
         video_embs.append(np.asarray(fv)[:nchunk])
         caption_embs.append(np.asarray(ft)[:ncap])
