@@ -82,3 +82,21 @@ def test_joint_timesformer_time_attention_noop_at_init():
     blk["out_proj"]["kernel"][:] = prng.normal(size=blk["out_proj"]["kernel"].shape) * 0.1
     out3 = np.asarray(tsf.apply({"params": p3}, video))
     assert not np.allclose(out, out3, atol=1e-4)
+
+
+def test_r2plus1d_reachable_from_factory_config():
+    """The reference exports R2Plus1D_34_IG65M_32frames for config-driven
+    construction (model/__init__.py:24-50); create_model must build it
+    (round 1 shipped the module unregistered)."""
+    import jax
+
+    from vtc_tpu.models import create_model
+
+    module, variables = create_model(
+        "R2Plus1D_34_IG65M_32frames", pool_spatial="max", pool_temporal="mean"
+    )
+    assert module.pool_spatial == "max"
+    x = np.random.default_rng(0).normal(size=(2, 3, 4, 32, 32)).astype(np.float32)
+    out = jax.jit(lambda v, x: module.apply(v, x))(variables, x)
+    assert out.shape == (2, 512)
+    assert np.isfinite(np.asarray(out)).all()

@@ -23,6 +23,7 @@ import numpy as np
 from . import retrieval
 from .cam import zero_init_cam_params
 from .clip_model import CLIP_VARIANTS
+from .r2plus1d import R2Plus1D_34_IG65M_32frames
 from .timesformer import timesformer_params_from_clip_visual
 from .torch_import import import_openai_clip, load_torch_file
 
@@ -34,6 +35,7 @@ ARCHS = {
     "PretrainedCLIP_finaltf": retrieval.PretrainedCLIP_finaltf,
     "PretrainedCLIP_TimeSformer": retrieval.PretrainedCLIP_TimeSformer,
     "PretrainedCLIP_TimeSformer_finaltf": retrieval.PretrainedCLIP_TimeSformer_finaltf,
+    "R2Plus1D_34_IG65M_32frames": R2Plus1D_34_IG65M_32frames,
 }
 
 _CAM_ARCHS = {"PretrainedCLIP_finaltf", "PretrainedCLIP_TimeSformer_finaltf"}
@@ -41,6 +43,10 @@ _TSF_ARCHS = {"PretrainedCLIP_TimeSformer", "PretrainedCLIP_TimeSformer_finaltf"
 
 
 def _dummy_inputs(arch: str, module) -> tuple:
+    if arch == "R2Plus1D_34_IG65M_32frames":
+        # [b, c, t, h, w]; BN/conv shapes are independent of t/h/w, so a
+        # small clip keeps init cheap (serving uses 32-frame 112x112 clips)
+        return (jnp.zeros((1, 3, 4, 32, 32), jnp.float32),)
     v = CLIP_VARIANTS[getattr(module, "model_type", "ViT-B/32")]
     res = v.input_resolution
     title = jnp.zeros((1, v.context_length), jnp.int32)
