@@ -1,0 +1,281 @@
+"""One-command real-weights readiness harness.
+
+The environment this framework was built in has no network egress, so all
+parity testing runs against randomly-initialized torch twins. The day real
+assets are provisioned, this script validates the full chain in one command:
+
+    VTC_BPE_VOCAB=.../bpe_simple_vocab_16e6.txt.gz \
+    VTC_CLIP_WEIGHTS=.../ViT-B-32.pt \
+    VTC_DATA_CSV=.../posts.csv VTC_DATA_ROOT=.../media \
+        python scripts/verify_real_weights.py
+
+Stages (each runs iff its asset is present, and fails loudly otherwise):
+
+1. **Tokenizer goldens** — canonical openai-CLIP token ids for known strings
+   (oracle: ``clip.tokenize`` with the real merges file; the reference's
+   tests tokenize with it via ``clip`` at ``tests/test_pretrained_clip.py:20``).
+2. **CLIP weight parity** — imports the checkpoint into the flax towers and
+   diffs embeddings against the torch model run from the same file
+   (TorchScript archive → end-to-end; HF directory → layer-wise via
+   ``vtc_tpu.models.parity_harness``). Oracle:
+   ``/root/reference/tests/test_pretrained_clip.py:7-42``.
+3. **Zero-shot VTC eval** — img+title Recall on the VTC test split, compared
+   to Table 6a row 1 (TVR R@1 11.1 / R@10 26.0, ``README.md:112``) within
+   0.3 pts.
+
+Each stage function is importable; ``tests/test_real_weights_harness.py``
+runs them against the HF-random twin + fallback vocab so the plumbing
+cannot rot while the real assets are absent.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+# Oracle: openai-CLIP `tokenize` with the real bpe_simple_vocab_16e6 merges.
+# Structural ids (sot/eot) hold for the fallback vocabulary too.
+TOKENIZER_GOLDENS = [
+    ("a photo of a cat", [49406, 320, 1125, 539, 320, 2368, 49407]),
+    ("a photo of a dog", [49406, 320, 1125, 539, 320, 1929, 49407]),
+    ("hello world", [49406, 3306, 1002, 49407]),
+]
+
+# Table 6a row 1 (README.md:112): CLIP zero-shot, img+title inference.
+ZERO_SHOT_TARGET = {"tvr_r1": 11.1, "tvr_r10": 26.0}
+ZERO_SHOT_TOLERANCE = 0.3
+
+
+def stage_tokenizer(bpe_path=None) -> dict:
+    """Structural checks always; golden-vector checks iff the real merges
+    file is loaded (``tokenizer.is_exact``)."""
+    from vtc_tpu.data.tokenizer import ClipTokenizer
+
+    tok = ClipTokenizer(bpe_path)
+    result = {"is_exact": tok.is_exact, "structural_ok": True, "goldens": []}
+
+    # invariants of both vocabularies
+    assert tok.sot_token == 49406 and tok.eot_token == 49407
+    arr = np.zeros((2, 77), np.int32)
+    for i, text in enumerate(["some text", ""]):
+        ids = [tok.sot_token] + tok.encode(text) + [tok.eot_token]
+        arr[i, : len(ids)] = ids
+    assert arr[0, 0] == 49406 and arr[1, 1] == 49407  # empty -> [sot, eot]
+
+    if tok.is_exact:
+        for text, want in TOKENIZER_GOLDENS:
+            got = [tok.sot_token] + tok.encode(text) + [tok.eot_token]
+            result["goldens"].append(
+                {"text": text, "ok": got == want, "got": got, "want": want}
+            )
+    result["ok"] = result["structural_ok"] and all(
+        g["ok"] for g in result["goldens"]
+    )
+    return result
+
+
+def _torch_reference_embeds(weights_path, images, tokens):
+    """Run the torch model stored at ``weights_path`` (TorchScript archive or
+    HF directory) on the same inputs. Returns (img_embeds, txt_embeds,
+    torch_model_or_None_for_jit)."""
+    import torch
+
+    if os.path.isdir(weights_path):  # HF CLIPModel directory
+        from transformers import CLIPModel
+
+        model = CLIPModel.from_pretrained(weights_path).eval()
+        with torch.no_grad():
+            img = model.get_image_features(
+                pixel_values=torch.from_numpy(images)
+            )
+            txt = model.get_text_features(
+                input_ids=torch.from_numpy(tokens).long()
+            )
+        img = img / img.norm(dim=-1, keepdim=True)
+        txt = txt / txt.norm(dim=-1, keepdim=True)
+        return img.numpy(), txt.numpy(), model
+
+    model = torch.jit.load(weights_path, map_location="cpu").float().eval()
+    with torch.no_grad():
+        img = model.encode_image(torch.from_numpy(images))
+        txt = model.encode_text(torch.from_numpy(tokens).long())
+    img = img / img.norm(dim=-1, keepdim=True)
+    txt = txt / txt.norm(dim=-1, keepdim=True)
+    return img.float().numpy(), txt.float().numpy(), None
+
+
+def stage_clip_parity(
+    weights_path, model_type: str = "ViT-B/32", atol: float = 1e-4
+) -> dict:
+    """Import ``weights_path`` into the flax towers and diff embeddings
+    against the torch run of the same file."""
+    import jax
+
+    from vtc_tpu.models import CLIP_VARIANTS, ClipModel, create_model
+    from vtc_tpu.models.parity_harness import (
+        compare_clip_activations,
+        format_report,
+    )
+
+    module, variables = create_model(
+        "PretrainedCLIP", model_type=model_type, clip_weights=(
+            weights_path if not os.path.isdir(weights_path) else None
+        ),
+    )
+    v = CLIP_VARIANTS[model_type]
+    rng = np.random.default_rng(0)
+    images = rng.normal(
+        size=(2, 3, v.input_resolution, v.input_resolution)
+    ).astype(np.float32)
+    tokens = np.zeros((2, v.context_length), np.int32)
+    tokens[:, 0] = 49406
+    tokens[0, 1:9] = rng.integers(1, 49000, 8)
+    tokens[0, 9] = 49407
+    tokens[1, 1] = 49407
+
+    if os.path.isdir(weights_path):  # HF: layerwise harness available
+        from vtc_tpu.models.torch_import import import_hf_clip
+
+        t_img, t_txt, torch_model = _torch_reference_embeds(
+            weights_path, images, tokens
+        )
+        variables = dict(variables)
+        params = dict(variables["params"])
+        params["clip"] = import_hf_clip(torch_model.state_dict())
+        variables["params"] = params
+        layer_report = compare_clip_activations(
+            torch_model, ClipModel(variant=v), {"params": params["clip"]},
+            images, tokens,
+        )
+        print(format_report(layer_report))
+    else:
+        t_img, t_txt, _ = _torch_reference_embeds(weights_path, images, tokens)
+        layer_report = None
+
+    j_img, j_txt, _ = jax.jit(module.apply)(variables, images, tokens)
+    img_diff = float(np.abs(np.asarray(j_img) - t_img).max())
+    txt_diff = float(np.abs(np.asarray(j_txt) - t_txt).max())
+    return {
+        "img_max_abs": img_diff,
+        "txt_max_abs": txt_diff,
+        "ok": img_diff < atol and txt_diff < atol,
+        "layer_report": layer_report,
+    }
+
+
+def stage_zero_shot(
+    csv_file, data_root, weights_path=None, batch_size: int = 64,
+    limit=None, image_size: int = 224,
+) -> dict:
+    """CLIP zero-shot img+title retrieval on the VTC test split vs Table 6a
+    row 1. ``limit`` (for plumbing tests) skips the README comparison."""
+    import jax
+    import jax.numpy as jnp
+
+    from vtc_tpu.data import ImTextDataset
+    from vtc_tpu.data.loader import DataLoader
+    from vtc_tpu.models import create_model
+    from vtc_tpu.ops.retrieval import recall_at_k
+
+    module, variables = create_model(
+        "PretrainedCLIP", model_type="ViT-B/32", clip_weights=weights_path
+    )
+    dataset = ImTextDataset(
+        csv_file, data_root, train=False, test=True, add_comments="never",
+        test_on_over_k_comms=3, test_set_limit=limit or 5000,
+        image_size=image_size,
+    )
+    loader = DataLoader(
+        dataset, batch_size=batch_size, shuffle=False, drop_last=False,
+        num_workers=2,
+    )
+    fwd = jax.jit(lambda v, vis, title: module.apply(v, vis, title)[:2])
+    vis_all, txt_all = [], []
+    for batch in loader:
+        vis, title = batch[0], batch[1]
+        fv, ft = fwd(variables, jnp.asarray(vis), jnp.asarray(title))
+        vis_all.append(np.asarray(fv))
+        txt_all.append(np.asarray(ft))
+    vis_all = np.concatenate(vis_all)
+    txt_all = np.concatenate(txt_all)
+
+    tvr = dict(recall_at_k(txt_all, vis_all, [1, 10]))  # text -> video
+    vtr = dict(recall_at_k(vis_all, txt_all, [1, 10]))
+    result = {
+        "n": len(vis_all),
+        "tvr_r1": tvr[1] * 100, "tvr_r10": tvr[10] * 100,
+        "vtr_r1": vtr[1] * 100, "vtr_r10": vtr[10] * 100,
+    }
+    if limit is None:
+        result["ok"] = (
+            abs(result["tvr_r1"] - ZERO_SHOT_TARGET["tvr_r1"])
+            <= ZERO_SHOT_TOLERANCE
+            and abs(result["tvr_r10"] - ZERO_SHOT_TARGET["tvr_r10"])
+            <= ZERO_SHOT_TOLERANCE
+        )
+    else:
+        result["ok"] = True  # plumbing mode: ran end-to-end
+    return result
+
+
+def main() -> int:
+    from vtc_tpu.data.tokenizer import _find_vocab_file
+
+    failures, ran = [], []
+
+    bpe = os.environ.get("VTC_BPE_VOCAB") or _find_vocab_file()
+    res = stage_tokenizer(bpe)
+    if res["is_exact"]:
+        ran.append("tokenizer")
+        print(f"[tokenizer] exact vocab, goldens: "
+              f"{[(g['text'], g['ok']) for g in res['goldens']]}")
+        if not res["ok"]:
+            failures.append(("tokenizer", res))
+    else:
+        print("[tokenizer] SKIPPED goldens — no merges file "
+              "(set VTC_BPE_VOCAB); structural checks passed")
+
+    weights = os.environ.get("VTC_CLIP_WEIGHTS")
+    if weights and os.path.exists(weights):
+        ran.append("clip_parity")
+        res = stage_clip_parity(weights)
+        print(f"[clip_parity] img max|Δ|={res['img_max_abs']:.2e} "
+              f"txt max|Δ|={res['txt_max_abs']:.2e} ok={res['ok']}")
+        if not res["ok"]:
+            failures.append(("clip_parity", res))
+    else:
+        print("[clip_parity] SKIPPED — set VTC_CLIP_WEIGHTS")
+
+    csv_file = os.environ.get("VTC_DATA_CSV")
+    root = os.environ.get("VTC_DATA_ROOT")
+    if csv_file and root and os.path.exists(csv_file):
+        ran.append("zero_shot")
+        res = stage_zero_shot(csv_file, root, weights_path=weights)
+        print(f"[zero_shot] n={res['n']} TVR R@1={res['tvr_r1']:.1f} "
+              f"R@10={res['tvr_r10']:.1f} "
+              f"(target {ZERO_SHOT_TARGET['tvr_r1']}/{ZERO_SHOT_TARGET['tvr_r10']}"
+              f" ±{ZERO_SHOT_TOLERANCE}) ok={res['ok']}")
+        if not res["ok"]:
+            failures.append(("zero_shot", res))
+    else:
+        print("[zero_shot] SKIPPED — set VTC_DATA_CSV + VTC_DATA_ROOT")
+
+    if not ran:
+        print("\nNo real assets found; nothing verified. "
+              "Provision VTC_BPE_VOCAB / VTC_CLIP_WEIGHTS / VTC_DATA_*.")
+        return 2
+    if failures:
+        print(f"\nFAILED stages: {[f[0] for f in failures]}")
+        return 1
+    print(f"\nAll executed stages passed: {ran}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

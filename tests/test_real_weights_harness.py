@@ -1,0 +1,191 @@
+"""Plumbing tests for scripts/verify_real_weights.py: every stage runs
+end-to-end against the assets available in this environment (HF-random twin,
+fallback vocab, synthetic corpus) so the harness cannot rot while the real
+CLIP weights / merges file are absent."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pytest
+from PIL import Image
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "scripts"))
+
+import verify_real_weights as vrw  # noqa: E402
+
+BASE36 = "0123456789abcdefghijklmnopqrstuvwxyz"
+
+
+def test_stage_tokenizer_fallback_structural():
+    res = vrw.stage_tokenizer(None)
+    assert res["ok"] and not res["is_exact"]
+    assert res["goldens"] == []  # goldens wait for the real merges file
+    # the golden fixtures themselves are well-formed
+    for text, ids in vrw.TOKENIZER_GOLDENS:
+        assert ids[0] == 49406 and ids[-1] == 49407 and len(ids) <= 77
+
+
+def test_stage_clip_parity_hf_dir(tmp_path):
+    """The HF-directory branch (layerwise harness + end-to-end diff) on a
+    random twin saved to disk — must report fp32-level agreement."""
+    pytest.importorskip("transformers")
+    import torch
+    from transformers import CLIPConfig, CLIPModel
+
+    config = CLIPConfig(
+        projection_dim=32,
+        text_config=dict(
+            vocab_size=49408, hidden_size=64, intermediate_size=256,
+            num_hidden_layers=2, num_attention_heads=4,
+            max_position_embeddings=77, hidden_act="quick_gelu",
+            eos_token_id=49407, bos_token_id=49406,
+        ),
+        vision_config=dict(
+            hidden_size=64, intermediate_size=256, num_hidden_layers=2,
+            num_attention_heads=4, image_size=32, patch_size=8,
+            hidden_act="quick_gelu",
+        ),
+    )
+    torch.manual_seed(0)
+    CLIPModel(config).eval().save_pretrained(tmp_path / "hf_clip")
+
+    res = vrw.stage_clip_parity(str(tmp_path / "hf_clip"), model_type="test-tiny")
+    assert res["ok"], res
+    assert res["img_max_abs"] < 1e-4 and res["txt_max_abs"] < 1e-4
+    assert res["layer_report"] is not None
+    assert ("visual", 0) in res["layer_report"]
+
+
+def test_stage_zero_shot_runs_end_to_end(tmp_path):
+    """The zero-shot eval stage on a synthetic corpus (limit mode: plumbing
+    only, no README comparison)."""
+    rng = np.random.default_rng(0)
+    root = tmp_path / "media"
+    (root / "vids").mkdir(parents=True)
+    rows = []
+    for i in range(40):
+        rid_str = "ab" + BASE36[(i * 7) % 36] + BASE36[i % 36]
+        rid = int(rid_str, 36)
+        if any(r["reddit_id"] == rid for r in rows):
+            continue
+        rows.append({
+            "reddit_id": rid,
+            "video_path": f"results/vids/{rid_str}.mp4",
+            "title": f"topic {i}",
+            "video_length": 5.0,
+            "comments": str([f"c{i} one", f"c{i} two", f"c{i} three"]),
+        })
+        Image.fromarray(
+            rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+        ).save(root / "vids" / f"{rid_str}.jpg")
+    csv = tmp_path / "posts.csv"
+    pd.DataFrame(rows).to_csv(csv, index=False)
+
+    import vtc_tpu.models.factory as factory
+
+    orig = factory.create_model
+
+    def tiny_create(arch, **kw):
+        kw["model_type"] = "test-tiny"
+        return orig(arch, **kw)
+
+    vrw_create = vrw.stage_zero_shot.__globals__  # module-level import site
+    try:
+        factory.create_model = tiny_create
+        import vtc_tpu.models as models_pkg
+
+        models_pkg.create_model = tiny_create
+        res = vrw.stage_zero_shot(
+            str(csv), str(root), limit=8, batch_size=4, image_size=32
+        )
+    finally:
+        factory.create_model = orig
+        import vtc_tpu.models as models_pkg
+
+        models_pkg.create_model = orig
+    assert res["ok"] and res["n"] > 0
+    for k in ("tvr_r1", "tvr_r10", "vtr_r1", "vtr_r10"):
+        assert 0.0 <= res[k] <= 100.0
+    del vrw_create
+
+
+def test_factory_warns_on_real_weights_with_fallback_vocab(tmp_path, caplog):
+    """create_model must warn loudly when importing real weights while the
+    tokenizer is the fallback vocabulary (VERDICT r1 weak #4)."""
+    import logging
+
+    import torch
+
+    from vtc_tpu.data.tokenizer import get_tokenizer
+    from vtc_tpu.models import create_model
+    from vtc_tpu.models.clip_model import CLIP_VARIANTS
+
+    assert not get_tokenizer().is_exact  # environment has no merges file
+
+    # minimal openai-format state dict for the tiny variant
+    v = CLIP_VARIANTS["test-tiny"]
+    module, variables = create_model("PretrainedCLIP", model_type="test-tiny")
+    from vtc_tpu.models.torch_import import import_openai_clip  # noqa: F401
+
+    # build an openai-style checkpoint by exporting our random params
+    sd = {}
+    grid = v.input_resolution // v.patch_size
+
+    p = variables["params"]["clip"]
+
+    def t(x):
+        return torch.from_numpy(np.asarray(x, np.float32))
+
+    # our conv1 operand is the OIHW kernel flattened to (O, I*H*W)
+    sd["visual.conv1.weight"] = t(p["visual"]["conv1"]).reshape(
+        v.vision_width, 3, v.patch_size, v.patch_size
+    )
+    sd["visual.class_embedding"] = t(p["visual"]["class_embedding"])
+    sd["visual.positional_embedding"] = t(p["visual"]["positional_embedding"])
+    sd["visual.ln_pre.weight"] = t(p["visual"]["ln_pre"]["scale"])
+    sd["visual.ln_pre.bias"] = t(p["visual"]["ln_pre"]["bias"])
+    sd["visual.ln_post.weight"] = t(p["visual"]["ln_post"]["scale"])
+    sd["visual.ln_post.bias"] = t(p["visual"]["ln_post"]["bias"])
+    sd["visual.proj"] = t(p["visual"]["proj"])
+    for i in range(v.vision_layers):
+        b = p["visual"]["transformer"][f"resblocks_{i}"]
+        pre = f"visual.transformer.resblocks.{i}"
+        _export_block(sd, pre, b, t)
+    sd["text_projection"] = t(p["text"]["text_projection"])
+    sd["token_embedding.weight"] = t(p["text"]["token_embedding"])
+    sd["positional_embedding"] = t(p["text"]["positional_embedding"])
+    sd["ln_final.weight"] = t(p["text"]["ln_final"]["scale"])
+    sd["ln_final.bias"] = t(p["text"]["ln_final"]["bias"])
+    sd["logit_scale"] = t(p["logit_scale"]).reshape(())
+    for i in range(v.text_layers):
+        b = p["text"]["transformer"][f"resblocks_{i}"]
+        _export_block(sd, f"transformer.resblocks.{i}", b, t)
+    del grid
+
+    ckpt = tmp_path / "tiny_clip.pth"
+    torch.save(sd, ckpt)
+
+    with caplog.at_level(logging.WARNING, logger="vtc_tpu.models.factory"):
+        create_model(
+            "PretrainedCLIP", model_type="test-tiny", clip_weights=str(ckpt)
+        )
+    assert any("FALLBACK" in rec.message for rec in caplog.records)
+
+
+def _export_block(sd, pre, b, t):
+    sd[f"{pre}.attn.in_proj_weight"] = t(b["attn"]["in_proj_weight"])
+    sd[f"{pre}.attn.in_proj_bias"] = t(b["attn"]["in_proj_bias"])
+    sd[f"{pre}.attn.out_proj.weight"] = t(b["attn"]["out_proj"]["kernel"]).T
+    sd[f"{pre}.attn.out_proj.bias"] = t(b["attn"]["out_proj"]["bias"])
+    sd[f"{pre}.ln_1.weight"] = t(b["ln_1"]["scale"])
+    sd[f"{pre}.ln_1.bias"] = t(b["ln_1"]["bias"])
+    sd[f"{pre}.ln_2.weight"] = t(b["ln_2"]["scale"])
+    sd[f"{pre}.ln_2.bias"] = t(b["ln_2"]["bias"])
+    sd[f"{pre}.mlp.c_fc.weight"] = t(b["mlp"]["c_fc"]["kernel"]).T
+    sd[f"{pre}.mlp.c_fc.bias"] = t(b["mlp"]["c_fc"]["bias"])
+    sd[f"{pre}.mlp.c_proj.weight"] = t(b["mlp"]["c_proj"]["kernel"]).T
+    sd[f"{pre}.mlp.c_proj.bias"] = t(b["mlp"]["c_proj"]["bias"])

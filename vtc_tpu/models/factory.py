@@ -13,6 +13,7 @@ reference's initialization semantics.
 
 from __future__ import annotations
 
+import logging
 import os
 from typing import Optional, Tuple
 
@@ -131,6 +132,16 @@ def create_model(
         clip_audio_ckpt if clip_audio_ckpt else clip_weights
     )
     if weights_path is not None and "clip" in params:
+        from ..data.tokenizer import get_tokenizer
+
+        if not get_tokenizer().is_exact:
+            logging.getLogger(__name__).warning(
+                "Real CLIP weights (%s) combined with the FALLBACK byte-level "
+                "BPE vocabulary — token ids will not match the checkpoint's "
+                "training vocabulary and text embeddings will be wrong. "
+                "Provision the merges file via VTC_BPE_VOCAB.",
+                weights_path,
+            )
         sd = load_openai_state_dict(weights_path)
         imported = import_openai_clip(sd)
         if arch in _TSF_ARCHS:
