@@ -58,28 +58,78 @@ def test_batch_not_multiple_of_block():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
-def test_mha_module_fused_matches_xla(monkeypatch):
-    """MultiHeadAttention with the fused kernel enabled must match the XLA
-    path exactly (same params, same inputs)."""
-    import os
-
+def test_mha_module_seq_fold_matches_unfolded():
+    """MultiHeadAttention with batch folding must match the plain path
+    exactly (same params, same inputs) — folding is a pure layout
+    optimization, not an approximation."""
     from vtc_tpu.models.layers import MultiHeadAttention
 
     rng = np.random.default_rng(5)
-    x = jnp.asarray(rng.normal(size=(2, 50, 64)).astype(np.float32))
-    mha = MultiHeadAttention(64, 4)
-    variables = mha.init(jax.random.PRNGKey(0), x)
+    x = jnp.asarray(rng.normal(size=(8, 16, 64)).astype(np.float32))
+    plain = MultiHeadAttention(64, 4, seq_fold=1)
+    variables = plain.init(jax.random.PRNGKey(0), x)
 
-    monkeypatch.setenv("VTC_FUSED_ATTENTION", "0")
-    ref = np.asarray(mha.apply(variables, x))
-    monkeypatch.setenv("VTC_FUSED_ATTENTION", "1")
-    fused = np.asarray(mha.apply(variables, x))
-    np.testing.assert_allclose(fused, ref, atol=2e-5)
+    ref = np.asarray(plain.apply(variables, x))
+    folded = np.asarray(
+        MultiHeadAttention(64, 4, seq_fold=4).apply(variables, x)
+    )
+    np.testing.assert_allclose(folded, ref, atol=2e-5)
 
-    # causal-masked (text tower) path
-    mask = causal_mask(50)
-    monkeypatch.setenv("VTC_FUSED_ATTENTION", "0")
-    ref_m = np.asarray(mha.apply(variables, x, mask))
-    monkeypatch.setenv("VTC_FUSED_ATTENTION", "1")
-    fused_m = np.asarray(mha.apply(variables, x, mask))
-    np.testing.assert_allclose(fused_m, ref_m, atol=2e-5)
+    # causal-masked (text tower) path, auto fold
+    mask = causal_mask(16)
+    ref_m = np.asarray(plain.apply(variables, x, mask))
+    auto_m = np.asarray(
+        MultiHeadAttention(64, 4, seq_fold=0).apply(variables, x, mask)
+    )
+    np.testing.assert_allclose(auto_m, ref_m, atol=2e-5)
+
+
+def test_pick_seq_fold_policy():
+    from vtc_tpu.models.layers import pick_seq_fold
+
+    assert pick_seq_fold(768, 16) == 8      # 8*16 = 128 packed rows
+    assert pick_seq_fold(1568, 8) == 16     # timesformer temporal
+    assert pick_seq_fold(128, 50) == 1      # long seq: logits cost dominates
+    assert pick_seq_fold(7, 16) == 7        # divisor of batch required
+    assert pick_seq_fold(1, 16) == 1
+
+
+@pytest.mark.parametrize(
+    "b,l,e,h,causal",
+    [(8, 50, 128, 2, False), (16, 16, 128, 2, True), (5, 8, 64, 1, False)],
+)
+def test_fused_mha_kernel_parity(b, l, e, h, causal):
+    """The packed supertile kernel (interpret mode on CPU) matches the XLA
+    reference. Kept as a reference implementation: measured on v5e it loses
+    to XLA at these shapes (PERFORMANCE.md, Pallas kernel exploration)."""
+    from vtc_tpu.ops.pallas_attention import _mha_reference, fused_mha
+
+    rng = np.random.default_rng(7)
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(b, l, e)).astype(np.float32))
+        for _ in range(3)
+    )
+    ref = _mha_reference(q, k, v, h, causal, (e // h) ** -0.5)
+    out = fused_mha(q, k, v, h, causal, None, 2, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_mha_gradients():
+    from vtc_tpu.ops.pallas_attention import _mha_reference, fused_mha
+
+    rng = np.random.default_rng(8)
+    q, k, v = (
+        jnp.asarray(rng.normal(size=(4, 8, 64)).astype(np.float32))
+        for _ in range(3)
+    )
+
+    g1 = jax.grad(
+        lambda q, k, v: jnp.sum(fused_mha(q, k, v, 2, False, None, 2, True) ** 2),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    g2 = jax.grad(
+        lambda q, k, v: jnp.sum(_mha_reference(q, k, v, 2, False, 32 ** -0.5) ** 2),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)

@@ -134,3 +134,54 @@ def test_truncate_to_eot_bucket_preserves_embeddings():
     np.testing.assert_allclose(
         np.asarray(full), np.asarray(short), atol=1e-5
     )
+
+
+def test_truncate_batch_tokens_common_bucket():
+    from vtc_tpu.data.tokenizer import truncate_batch_tokens
+
+    title = np.zeros((4, 77), np.int32)
+    title[:, 0] = 49406
+    title[:, 5] = 49407  # EOT at 5 -> needs 6
+    comments = np.zeros((4, 3, 77), np.int32)
+    comments[..., 0] = 49406
+    comments[..., 20] = 49407  # needs 21 -> bucket 32
+    vis = np.zeros((4, 3, 8, 8), np.float32)
+
+    out = truncate_batch_tokens([vis, title, comments])
+    assert out[0].shape == vis.shape  # non-token member untouched
+    # one COMMON bucket across all token arrays
+    assert out[1].shape == (4, 32) and out[2].shape == (4, 3, 32)
+    np.testing.assert_array_equal(out[1], title[:, :32])
+
+
+def test_trainer_eot_truncation_is_exact():
+    """A train step on truncated tokens must produce the same loss as on the
+    full 77-token batch (causal tower + EOT pooling never read past EOT)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vtc_tpu.data.tokenizer import truncate_batch_tokens
+    from vtc_tpu.models import create_model
+    from vtc_tpu.ops.losses import clip_loss
+
+    module, variables = create_model(
+        "PretrainedCLIP_finaltf", model_type="test-tiny", seed=0,
+        random_skip_adapter=False,
+    )
+    rng = np.random.default_rng(3)
+    vis = rng.normal(size=(4, 3, 32, 32)).astype(np.float32)
+    title = np.zeros((4, 77), np.int32)
+    title[:, 0] = 49406
+    title[:, 1:9] = rng.integers(1, 49000, (4, 8))
+    title[:, 9] = 49407
+    comments = np.zeros((4, 2, 77), np.int32)
+    comments[..., 0] = 49406
+    comments[..., 1] = 49407
+
+    def loss_of(data):
+        out = module.apply(variables, *[jnp.asarray(d) for d in data])
+        return float(clip_loss(out, {}))
+
+    full = loss_of([vis, title, comments])
+    trunc = loss_of(truncate_batch_tokens([vis, title, comments]))
+    np.testing.assert_allclose(trunc, full, rtol=1e-6)

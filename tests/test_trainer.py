@@ -628,3 +628,62 @@ def test_train_step_with_stateful_bn_activation(tmp_path):
     l1, out1 = eval_step(state, data, {})
     l2, out2 = eval_step(state, data, {})
     np.testing.assert_allclose(np.asarray(out1[2]), np.asarray(out2[2]))
+
+
+def test_uint8_image_path_is_exact(tmp_path):
+    """uint8 HWC batch through the jitted step == fp32 host-preprocessed
+    batch (the device normalize is the same arithmetic on the same resized
+    frame), at 1/4 the host->device bytes."""
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image as PILImage
+
+    from vtc_tpu.data.preprocess import (
+        clip_preprocess,
+        clip_resize_uint8,
+        normalize_uint8_images,
+    )
+    from vtc_tpu.models import create_model
+    from vtc_tpu.ops.losses import clip_loss
+    from vtc_tpu.training.optim import build_optimizer
+    from vtc_tpu.training.trainer import TrainState, make_step_fns
+
+    rng = np.random.default_rng(0)
+    pil = PILImage.fromarray(
+        rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+    )
+    f32 = clip_preprocess(pil, 32)
+    u8 = clip_resize_uint8(pil, 32)
+    np.testing.assert_allclose(
+        np.asarray(normalize_uint8_images(jnp.asarray(u8))), f32, atol=1e-6
+    )
+
+    module, variables = create_model(
+        "PretrainedCLIP_finaltf", model_type="test-tiny", seed=0,
+        random_skip_adapter=False,
+    )
+    tx = build_optimizer(
+        variables["params"], {"type": "Adam", "args": {"lr": 1e-3}}, None, 1
+    )
+    train_step, _ = make_step_fns(module, clip_loss, tx, donate=False)
+
+    def state():
+        return TrainState(
+            step=jnp.zeros((), jnp.int32), params=variables["params"],
+            opt_state=tx.init(variables["params"]),
+            batch_stats=variables.get("batch_stats", {}),
+        )
+
+    batch_u8 = np.stack([u8] * 4)
+    batch_f32 = np.stack([f32] * 4)
+    title = np.zeros((4, 77), np.int32); title[:, 0] = 49406; title[:, 1] = 49407
+    comments = np.tile(title[:, None], (1, 2, 1))
+    key = jax.random.PRNGKey(0)
+
+    _, loss_u8, _ = train_step(
+        state(), (jnp.asarray(batch_u8), title, comments), {}, key
+    )
+    _, loss_f32, _ = train_step(
+        state(), (jnp.asarray(batch_f32), title, comments), {}, key
+    )
+    np.testing.assert_allclose(float(loss_u8), float(loss_f32), rtol=1e-6)

@@ -33,7 +33,12 @@ from .partition import (
     sample_if_list,
     should_add_comments,
 )
-from .preprocess import augment_frames, augment_image, clip_preprocess
+from .preprocess import (
+    augment_frames,
+    augment_image,
+    clip_preprocess,
+    clip_resize_uint8,
+)
 from .rake import Rake
 from .tokenizer import get_tokenizer, tokenize, tokenize_max_len
 from .video import (
@@ -108,7 +113,9 @@ class VisionTitleCommentDatasetBase:
         """
         rel = df.video_path.str[len("results/"):-4] + file_extension
         paths = rel.map(lambda r: os.path.join(self.root, r))
-        present = paths.map(os.path.exists).to_numpy()
+        # dtype=bool matters: an empty split yields a float64 mask, which
+        # pandas would treat as column selection instead of row filtering
+        present = paths.map(os.path.exists).to_numpy(dtype=bool)
         if not present.all():
             _logger.warning(
                 "reddit media: only %d of %d CSV rows found under %s",
@@ -521,11 +528,15 @@ class ImTextDataset(VisionTitleCommentDatasetBase):
         audio_with_comms=None,
         audio_instead_of_title=False,
         image_size=224,
+        uint8_images=False,
         seed=0,
     ):
         self.train = train
         self.root = root
         self.image_size = int(image_size)
+        # ship resized uint8 HWC and normalize on device (4x fewer
+        # host->device bytes); the jitted step applies the exact transform
+        self.uint8_images = bool(uint8_images)
         self.num_comms = int(num_comms)
         self.comment_sampling = comment_sampling if train else None
         self.cached_vision_features = cached_vision_features
@@ -569,7 +580,10 @@ class ImTextDataset(VisionTitleCommentDatasetBase):
             im = Image.open(self.filenames[idx]).convert("RGB")
             if self.use_augmentation and self.train:
                 im = augment_image(im, self.rng)
-            im = clip_preprocess(im, self.image_size)
+            if self.uint8_images:
+                im = clip_resize_uint8(im, self.image_size)
+            else:
+                im = clip_preprocess(im, self.image_size)
 
         title_tok = self._tokenise([title])[0]
         if self.add_comments:

@@ -50,6 +50,16 @@ def clip_preprocess(img: Image.Image, size: int = 224) -> np.ndarray:
     return arr.transpose(2, 0, 1)
 
 
+def clip_resize_uint8(img: Image.Image, size: int = 224) -> np.ndarray:
+    """PIL image -> uint8 [size, size, 3]: the host half of the uint8
+    transfer path (resize+crop here, normalize on device via
+    ``normalize_uint8_images``)."""
+    img = img.convert("RGB")
+    img = _resize_short_side(img, size)
+    img = _center_crop(img, size)
+    return np.asarray(img, dtype=np.uint8)
+
+
 def clip_preprocess_frames(frames: np.ndarray, size: int = 224) -> np.ndarray:
     """uint8 [t, h, w, c] -> float32 [t, 3, size, size] via per-frame PIL path
     (matches the reference's frame loop, ``dataset_loaders.py:540-541``)."""
@@ -159,6 +169,29 @@ def augment_image(
 # --------------------------------------------------------------------------
 # Device-side batched transform (jax)
 # --------------------------------------------------------------------------
+
+
+def normalize_uint8_images(x, mean=CLIP_MEAN, std=CLIP_STD):
+    """Pass-through for non-image-like inputs; uint8 [..., h, w, 3] frames
+    become CLIP-normalized float32 [..., 3, h, w] on device.
+
+    This is the device half of the uint8-transfer path: datasets resize on
+    host but keep uint8 HWC (4x fewer host->device bytes than fp32 CHW),
+    and the jitted step normalizes — same arithmetic as ``clip_preprocess``
+    on the already-resized frame, so results are bit-identical.
+    """
+    import jax.numpy as jnp
+
+    if not (
+        hasattr(x, "dtype")
+        and x.dtype == jnp.uint8
+        and x.ndim >= 3
+        and x.shape[-1] == 3
+    ):
+        return x
+    y = x.astype(jnp.float32) / 255.0
+    y = (y - jnp.asarray(mean)) / jnp.asarray(std)
+    return jnp.moveaxis(y, -1, -3)
 
 
 def clip_preprocess_device(frames, size: int = 224):

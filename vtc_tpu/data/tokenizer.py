@@ -256,6 +256,33 @@ def tokenize_max_len(
     return result
 
 
+def truncate_batch_tokens(arrays, buckets=(16, 32, 48, 64, 77)):
+    """Apply EOT-bucket truncation jointly to every token array in a batch.
+
+    ``arrays`` is a flat sequence; members that look like CLIP token tensors
+    (integer dtype, trailing dim 77) are truncated to one COMMON bucket (the
+    smallest covering every EOT position across all of them), so a training
+    step compiles at most ``len(buckets)`` variants instead of one per
+    array-bucket combination. Other members pass through untouched.
+    Exactness-preserving for the causally-masked, EOT-pooled text tower.
+    """
+    token_idx = [
+        i for i, a in enumerate(arrays)
+        if hasattr(a, "dtype") and np.issubdtype(np.asarray(a).dtype, np.integer)
+        and a.ndim >= 1 and a.shape[-1] == CONTEXT_LENGTH
+    ]
+    if not token_idx:
+        return list(arrays)
+    need = 1 + max(
+        int(np.asarray(arrays[i]).argmax(axis=-1).max()) for i in token_idx
+    )
+    bucket = next((b for b in buckets if need <= b), CONTEXT_LENGTH)
+    out = list(arrays)
+    for i in token_idx:
+        out[i] = arrays[i][..., :bucket]
+    return out
+
+
 def truncate_to_eot_bucket(tokens: np.ndarray, buckets=(16, 32, 48, 64, 77)):
     """Truncate a [..., 77] token batch to the smallest bucket covering every
     EOT position.

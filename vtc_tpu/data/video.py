@@ -43,14 +43,31 @@ def read_video_segment(
     resize_width: int = 0,
     resize_height: int = 0,
     max_frames: Optional[int] = None,
+    subsample_to: Optional[int] = None,
 ) -> np.ndarray:
     """Decode [start_sec, end_sec] -> uint8 [t, h, w, 3] RGB. Empty array on
-    failure (callers implement the reference's fallback chain)."""
+    failure (callers implement the reference's fallback chain).
+
+    ``subsample_to=n``: return only the floor-linspace selection of n frames
+    over the decoded range (identical frames to decoding everything and then
+    ``linspace_subsample``), but resize/color-convert ONLY the selected
+    frames — the segment reader keeps 8 of up to 256 decoded frames, and
+    per-frame resize of the discarded ones dominated the host pipeline
+    (measured 1.5 s/item -> see scripts/bench_video_pipeline.py).
+    """
     if not _HAS_CV2:
         return np.zeros((0,) + FALLBACK_SHAPE[1:], np.uint8)
     cap = cv2.VideoCapture(str(path))
     if not cap.isOpened():
         return np.zeros((0,) + FALLBACK_SHAPE[1:], np.uint8)
+
+    def _process(frame):
+        w, h = frame.shape[1], frame.shape[0]
+        nw, nh = _resize_dims(w, h, resize_width, resize_height)
+        if (nw, nh) != (w, h):
+            frame = cv2.resize(frame, (nw, nh), interpolation=cv2.INTER_AREA)
+        return cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+
     try:
         if start_sec > 0:
             cap.set(cv2.CAP_PROP_POS_MSEC, start_sec * 1000.0)
@@ -63,15 +80,16 @@ def read_video_segment(
                 break
             if end_sec is not None and pos > end_sec * 1000.0:
                 break
-            w, h = frame.shape[1], frame.shape[0]
-            nw, nh = _resize_dims(w, h, resize_width, resize_height)
-            if (nw, nh) != (w, h):
-                frame = cv2.resize(frame, (nw, nh), interpolation=cv2.INTER_AREA)
-            frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+            frames.append(frame if subsample_to is not None else _process(frame))
             if max_frames is not None and len(frames) >= max_frames:
                 break
         if not frames:
             return np.zeros((0,) + FALLBACK_SHAPE[1:], np.uint8)
+        if subsample_to is not None:
+            idxs = np.floor(
+                np.linspace(0, len(frames) - 1, subsample_to)
+            ).astype(np.int64)
+            return np.stack([_process(frames[i]) for i in idxs])
         return np.stack(frames)
     finally:
         cap.release()
@@ -137,11 +155,13 @@ def read_segment_with_fallbacks(
     vid = read_video_segment(
         path, segment_start, segment_end,
         resize_width=resize_width, resize_height=resize_height,
+        subsample_to=nframes,
     )
     if vid.shape[0] == 0:
         print("Zero len vid, trying fallback", path)
         vid = read_video_segment(
-            path, 0, 5, resize_width=resize_width, resize_height=resize_height
+            path, 0, 5, resize_width=resize_width, resize_height=resize_height,
+            subsample_to=nframes,
         )
     if vid.shape[0] == 0:
         print("Fallback failed", path)

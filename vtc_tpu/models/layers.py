@@ -24,19 +24,6 @@ import jax
 import jax.numpy as jnp
 
 
-def use_fused_attention() -> bool:
-    """Whether the Pallas fused-attention kernel should run (opt-in via
-    ``VTC_FUSED_ATTENTION=1``).
-
-    Measured on v5e (bf16, ViT-B/32 shapes, B=768/L=50/D=64): the Pallas
-    kernel runs ~13-27% behind XLA per attention call and ~2x behind
-    end-to-end — padding L,D up to 128 lanes wastes MXU work at these short
-    sequence lengths, and the opaque kernel blocks XLA's fusion of the
-    surrounding projection chains. XLA's fused attention is the default; the
-    kernel stays as the basis for a future true divided-attention kernel."""
-    return os.environ.get("VTC_FUSED_ATTENTION") == "1"
-
-
 def quick_gelu(x):
     return x * jax.nn.sigmoid(1.702 * x)
 
@@ -64,16 +51,42 @@ def _dot(a, b):
     return jnp.matmul(a, b, preferred_element_type=jnp.float32).astype(a.dtype)
 
 
+def pick_seq_fold(batch: int, seq: int, max_packed: int = 128) -> int:
+    """Largest fold f such that f sequences pack into ≤ ``max_packed`` rows
+    and f divides the batch. Short sequences (ViT's 50 tokens, EOT-bucketed
+    text's 8-32) leave most of the MXU's 128 lanes idle in the attention
+    matmuls; packing f sequences into one attention call with a
+    block-diagonal mask runs the same useful FLOPs at ~f× better lane
+    utilization and 1/f the op-dispatch overhead. The reshape is contiguous
+    (free), and the math is exact: cross-sequence logits are masked to -1e30,
+    whose exp underflows to exactly 0.0 in fp32."""
+    if seq > 32:
+        # folding multiplies the fp32 logits footprint by f; above ~32
+        # tokens that memory cost cancels the matmul-utilization win
+        # (measured on v5e: ViT L=50 fold=2 is a wash, text L=16 fold=8
+        # is -15% tower time)
+        return 1
+    f = max(1, max_packed // max(seq, 1))
+    while f > 1 and batch % f:
+        f -= 1
+    return f
+
+
 class MultiHeadAttention(nn.Module):
     """torch.nn.MultiheadAttention-equivalent with fused qkv projection.
 
     Parameters are stored in the torch layout (``in_proj_weight`` [3E, E],
     ``out_proj`` Dense) so checkpoint import is a direct copy.
+
+    ``seq_fold``: 1 = plain attention; 0 = auto-pick a batch fold (see
+    ``pick_seq_fold``); f>1 = pack f batch rows per attention call behind a
+    block-diagonal mask. Requires a 3-D [B, L, E] input.
     """
 
     embed_dim: int
     num_heads: int
     dtype: jnp.dtype = jnp.float32
+    seq_fold: int = 1
 
     @nn.compact
     def __call__(self, x, mask: Optional[jax.Array] = None):
@@ -96,6 +109,15 @@ class MultiHeadAttention(nn.Module):
         )
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
+        fold = self.seq_fold
+        if fold != 1 and x.ndim == 3:
+            b, l = x.shape[0], x.shape[1]
+            f = pick_seq_fold(b, l) if fold == 0 else fold
+            if f > 1 and b % f == 0:
+                return self._folded_attention(
+                    q, k, v, mask, f, h, head_dim, e
+                )
+
         def heads(t):  # [..., L, E] -> [..., H, L, Dh]
             t = t.reshape(t.shape[:-1] + (h, head_dim))
             return jnp.moveaxis(t, -2, -3)
@@ -104,33 +126,54 @@ class MultiHeadAttention(nn.Module):
         k = heads(k)
         v = heads(v)
 
-        if use_fused_attention():
-            from ..ops.pallas_attention import fused_attention
-
-            batch_shape = q.shape[:-2]
-            L = q.shape[-2]
-            flat = lambda t: t.reshape((-1, L, head_dim))  # noqa: E731
-            out = fused_attention(flat(q), flat(k), flat(v), mask, 1.0)
-            out = out.reshape(batch_shape + (L, head_dim))
-        else:
-            logits = jnp.matmul(
-                q, jnp.swapaxes(k, -1, -2), preferred_element_type=jnp.float32
-            )
-            if mask is not None:
-                logits = logits + mask
-            attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-            out = _dot(attn, v)  # [..., H, L, Dh]
+        # XLA attention. A Pallas fused path was measured extensively on v5e
+        # and loses at these short sequence lengths — Mosaic's 64-lane head
+        # granularity forces relayouts that cost more than the fusion saves
+        # (see PERFORMANCE.md "Pallas kernel exploration"); the kernels stay
+        # in ops/pallas_attention.py as test-covered reference
+        # implementations.
+        logits = jnp.matmul(
+            q, jnp.swapaxes(k, -1, -2), preferred_element_type=jnp.float32
+        )
+        if mask is not None:
+            logits = logits + mask
+        attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        out = _dot(attn, v)  # [..., H, L, Dh]
         out = jnp.moveaxis(out, -3, -2)
         out = out.reshape(out.shape[:-2] + (e,))
+        return self._out_proj(out, e)
 
-        out = nn.Dense(
+    def _folded_attention(self, q, k, v, mask, f, h, head_dim, e):
+        b, l = q.shape[0], q.shape[1]
+        scale = head_dim**-0.5
+
+        def fold(t):  # contiguous: [B, L, E] -> [B/f, f*L, H, Dh]
+            return t.reshape(b // f, f * l, h, head_dim)
+
+        logits = jnp.einsum(
+            "blhd,bmhd->bhlm", fold(q) * scale, fold(k),
+            preferred_element_type=jnp.float32,
+        )
+        # block-diagonal fold mask; per-sequence mask tiles along the diagonal
+        idx = jnp.arange(f * l) // l
+        same = idx[:, None] == idx[None, :]
+        base = jnp.zeros((l, l), jnp.float32) if mask is None else mask
+        folded_mask = jnp.where(same, jnp.tile(base, (f, f)), -jnp.inf)
+        attn = jax.nn.softmax(logits + folded_mask, axis=-1).astype(self.dtype)
+        out = jnp.einsum(
+            "bhlm,bmhd->blhd", attn, fold(v),
+            preferred_element_type=jnp.float32,
+        ).astype(self.dtype)
+        return self._out_proj(out.reshape(b, l, e), e)
+
+    def _out_proj(self, out, e):
+        return nn.Dense(
             e,
             dtype=self.dtype,
             param_dtype=jnp.float32,
             name="out_proj",
             kernel_init=nn.initializers.truncated_normal(0.02, lower=-2.0, upper=2.0),
         )(out)
-        return out
 
 
 class MLPBlock(nn.Module):
@@ -157,11 +200,13 @@ class ResidualAttentionBlock(nn.Module):
     width: int
     heads: int
     dtype: jnp.dtype = jnp.float32
+    seq_fold: int = 0
 
     @nn.compact
     def __call__(self, x, mask: Optional[jax.Array] = None):
         x = x + MultiHeadAttention(
-            self.width, self.heads, dtype=self.dtype, name="attn"
+            self.width, self.heads, dtype=self.dtype, name="attn",
+            seq_fold=self.seq_fold,
         )(LayerNorm32(name="ln_1")(x), mask)
         x = x + MLPBlock(self.width, dtype=self.dtype, name="mlp")(
             LayerNorm32(name="ln_2")(x)
@@ -184,6 +229,7 @@ class Transformer(nn.Module):
     layers: int
     heads: int
     dtype: jnp.dtype = jnp.float32
+    seq_fold: int = 0  # 0 = auto batch-fold in attention (exact; see above)
 
     @nn.compact
     def __call__(self, x, mask: Optional[jax.Array] = None):
@@ -192,7 +238,8 @@ class Transformer(nn.Module):
             block_cls = nn.remat(ResidualAttentionBlock, static_argnums=())
         for i in range(self.layers):
             x = block_cls(
-                self.width, self.heads, dtype=self.dtype, name=f"resblocks_{i}"
+                self.width, self.heads, dtype=self.dtype, name=f"resblocks_{i}",
+                seq_fold=self.seq_fold,
             )(x, mask)
         return x
 

@@ -49,8 +49,11 @@ class TimeSformerBlock(nn.Module):
 
         # Temporal attention per patch location (timesformer_clip_alt.py:141-149)
         xt = patches.reshape(b * n, t, m)
+        # t=8 leaves 94% of the attention matmul lanes idle; auto batch-fold
+        # packs 16 patch locations per call (layers.pick_seq_fold)
         res_t = MultiHeadAttention(
-            self.width, self.heads, dtype=self.dtype, name="timeattn"
+            self.width, self.heads, dtype=self.dtype, name="timeattn",
+            seq_fold=0,
         )(LayerNorm32(name="ln_time")(xt))
         res_t = res_t.reshape(b, n, t, m)
         res_t = nn.Dense(

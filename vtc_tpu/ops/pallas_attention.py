@@ -163,3 +163,149 @@ def attention_available() -> bool:
     if not _HAS_PLTPU:
         return False
     return jax.default_backend() not in ("cpu",)
+
+
+# ---------------------------------------------------------------------------
+# fused_mha: heads-packed fused attention (round-2 kernel)
+# ---------------------------------------------------------------------------
+#
+# The round-1 kernel above takes [B*H, L, D] and pads BOTH L and D to 128
+# lanes — at CLIP shapes (L=50/16, D=64) that wastes most of the MXU and
+# forces two head transposes in HBM around the call. This kernel instead
+# keeps the model's native [B, L, E] layout (E = H*D fills whole 128-lane
+# tiles exactly: 768 = 6 tiles, 512 = 4), loops heads *inside* the kernel
+# with register-level lane slicing, and keeps scores/softmax entirely in
+# VMEM. HBM traffic is the theoretical minimum (q,k,v in + out, compact
+# bf16), and the four XLA head transposes + fp32 logits round-trip are gone.
+
+
+def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, heads: int, l_real: int,
+                l_pad: int, causal: bool):
+    """Packed block-diagonal attention.
+
+    Refs are [R, E] where rows pack ``128 // l_pad`` batch items per 128-row
+    supertile (l_pad | 128). Per head and supertile, attention over ALL
+    packed items is ONE full [128, 128] score matmul with a static
+    block-diagonal mask — cross-item products are computed and masked, a
+    (128/l_pad)x flop overcount, but the MXU runs full tiles instead of
+    128/l_pad tiny padded matmuls. Scores/softmax never leave VMEM.
+    """
+    rows = q_ref.shape[0]
+    d = q_ref.shape[1] // heads
+    n_super = rows // 128
+
+    # static [128, 128] mask: same packed item, real key, (causal)
+    col = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    keep = (col // l_pad == row // l_pad) & (col % l_pad < l_real)
+    if causal:
+        keep = keep & (col % l_pad <= row % l_pad)
+    mask = jnp.where(keep, 0.0, jnp.float32(-1e30))
+
+    for h in range(heads):
+        sl = slice(h * d, (h + 1) * d)
+        qh = q_ref[:, sl]  # [R, D]
+        kh = k_ref[:, sl]
+        vh = v_ref[:, sl]
+        for s in range(n_super):
+            rs = slice(s * 128, (s + 1) * 128)
+            scores = jnp.dot(
+                qh[rs], kh[rs].T, preferred_element_type=jnp.float32
+            )  # [128, 128]
+            scores = scores + mask
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            e = jnp.exp(scores - m)
+            attn = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(qh.dtype)
+            out = jnp.dot(attn, vh[rs], preferred_element_type=jnp.float32)
+            o_ref[rs, sl] = out.astype(o_ref.dtype)
+
+
+def _fused_mha_fwd_impl(q, k, v, heads: int, causal: bool, scale: float,
+                        block_b: int, interpret: bool):
+    interpret = interpret or jax.default_backend() == "cpu"
+    b, l, e = q.shape
+    # pad L to a power-of-two divisor of 128 so supertiles pack exactly
+    lp = 1
+    while lp < l:
+        lp *= 2
+    lp = min(lp, 128)
+
+    # block_b = supertiles per grid step (each supertile is 128 rows)
+    rows_per_step = 128 * block_b
+    bp = _round_up(b, rows_per_step // lp)
+
+    q = q * jnp.asarray(scale, q.dtype)
+    pad = ((0, bp - b), (0, lp - l), (0, 0))
+    q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    q = q.reshape(bp * lp, e)
+    k = k.reshape(bp * lp, e)
+    v = v.reshape(bp * lp, e)
+
+    rows = bp * lp
+    out = pl.pallas_call(
+        functools.partial(
+            _mha_kernel, heads=heads, l_real=l, l_pad=lp, causal=causal
+        ),
+        grid=(rows // rows_per_step,),
+        in_specs=[
+            pl.BlockSpec((rows_per_step, e), lambda i: (i, 0)),
+            pl.BlockSpec((rows_per_step, e), lambda i: (i, 0)),
+            pl.BlockSpec((rows_per_step, e), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((rows_per_step, e), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((rows, e), q.dtype),
+        interpret=interpret,
+    )(q, k, v)
+    return out.reshape(bp, lp, e)[:b, :l]
+
+
+def _mha_reference(q, k, v, heads: int, causal: bool, scale: float):
+    b, l, e = q.shape
+    d = e // heads
+    qh = q.reshape(b, l, heads, d) * scale
+    kh = k.reshape(b, l, heads, d)
+    vh = v.reshape(b, l, heads, d)
+    scores = jnp.einsum(
+        "blhd,bmhd->bhlm", qh, kh, preferred_element_type=jnp.float32
+    )
+    if causal:
+        mask = jnp.triu(jnp.full((l, l), -jnp.inf, jnp.float32), k=1)
+        scores = scores + mask
+    attn = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    out = jnp.einsum(
+        "bhlm,bmhd->blhd", attn, vh, preferred_element_type=jnp.float32
+    )
+    return out.reshape(b, l, e).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def fused_mha(q, k, v, heads: int, causal: bool = False,
+              scale: Optional[float] = None, block_b: int = 4,
+              interpret: bool = False):
+    """Fused multi-head attention over [B, L, E] with E = heads*head_dim.
+
+    Heads stay packed in the lane dimension end to end — callers pass the
+    qkv-projection outputs directly, with no [B,H,L,D] transpose. Forward is
+    the Pallas kernel; backward recomputes through the XLA reference
+    (standard recompute-in-bwd)."""
+    s = scale if scale is not None else (q.shape[-1] // heads) ** -0.5
+    return _fused_mha_fwd_impl(q, k, v, heads, causal, s, block_b, interpret)
+
+
+def _mha_fwd(q, k, v, heads, causal, scale, block_b, interpret):
+    s = scale if scale is not None else (q.shape[-1] // heads) ** -0.5
+    out = _fused_mha_fwd_impl(q, k, v, heads, causal, s, block_b, interpret)
+    return out, (q, k, v)
+
+
+def _mha_bwd(heads, causal, scale, block_b, interpret, res, g):
+    q, k, v = res
+    s = scale if scale is not None else (q.shape[-1] // heads) ** -0.5
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: _mha_reference(q_, k_, v_, heads, causal, s),
+        q, k, v,
+    )
+    return vjp(g)
+
+
+fused_mha.defvjp(_mha_fwd, _mha_bwd)
