@@ -65,7 +65,10 @@ def test_full_val_split(msrvtt_root):
     )
     assert len(ds) == 3
     frames, text, vid_id = ds[0]
-    assert frames.ndim == 4 and frames.shape[1:] == (3, 224, 224)
+    # decode-only contract (round 2): raw uint8 HWC; retrieval_eval
+    # preprocesses only the stride-selected frames
+    assert frames.ndim == 4 and frames.shape[-1] == 3
+    assert frames.dtype == np.uint8
     assert text.shape == (3, 77)  # all captions on the full splits
     assert vid_id.startswith("video")
 
@@ -104,13 +107,13 @@ def test_retrieval_evaluation_on_msrvtt(msrvtt_root):
             return len(ds)
 
         def __getitem__(self, i):
-            frames, text, vid_id = ds[i]
-            frames = frames[:, :, ::7, ::7]  # [t, 3, 32, 32]
+            frames, text, vid_id = ds[i]  # raw uint8 [t, h, w, 3]
+            frames = frames[:, ::2, ::2][:, :32, :32]  # [t, 32, 32, 3]
             return frames, text, vid_id
 
     outdf = retrieval_evaluation(
         module, variables, "MSRVTT_videos", "full-val", dataset=Resized(),
-        frame_stride=8,
+        frame_stride=8, image_size=32,
     )
     assert outdf.shape == (3, 2)
     assert np.isfinite(outdf.to_numpy()).all()

@@ -284,12 +284,12 @@ def clip_preprocess_pil(frame: np.ndarray) -> np.ndarray:
     return clip_preprocess(Image.fromarray(frame))
 
 
-def clip_preprocess_batch(frames: np.ndarray) -> np.ndarray:
-    """uint8 [t, h, w, 3] -> float32 [t, 3, 224, 224]: native threaded stage
-    (PIL-bit-exact) with transparent PIL fallback."""
+def clip_preprocess_batch(frames: np.ndarray, size: int = 224) -> np.ndarray:
+    """uint8 [t, h, w, 3] -> float32 [t, 3, size, size]: native threaded
+    stage (PIL-bit-exact) with transparent PIL fallback."""
     from .native import clip_preprocess_frames_fast
 
-    return clip_preprocess_frames_fast(frames)
+    return clip_preprocess_frames_fast(frames, size)
 
 
 class VideoDatasetFirst32:
@@ -682,7 +682,7 @@ class VideoDatasetLivebot:
             print("failed video: ", self.video_files[index])
             frames = None
         else:
-            frames = clip_preprocess_batch(vid)
+            frames = vid  # raw; preprocessed post-stride by retrieval_eval
 
         vid_id = self.video_files[index].split("/")[-1].split(".")[0]
         title_tok = tokenize_max_len(self.titles[index])

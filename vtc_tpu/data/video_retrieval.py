@@ -21,7 +21,6 @@ from typing import Optional
 import numpy as np
 import pandas as pd
 
-from .datasets import clip_preprocess_batch
 from .preprocess import augment_frames
 from .tokenizer import tokenize, tokenize_max_len
 from .video import (
@@ -135,7 +134,9 @@ class VideoDatasetMSRVTT:
             vid = _read_video_train(video_path, self.rng)
         else:
             vid = read_video_full(video_path)
-        frames = clip_preprocess_batch(vid)
+        frames = vid  # raw uint8 [t, h, w, 3]; retrieval_eval preprocesses
+        # only the stride-selected frames (~16x less host work than
+        # preprocessing everything before striding)
 
         if self.augment:
             if not self.train:
@@ -216,7 +217,9 @@ class VideoDatasetMSVD:
             vid = _read_video_train(video_path, self.rng)
         else:
             vid = read_video_full(video_path)
-        frames = clip_preprocess_batch(vid)
+        frames = vid  # raw uint8 [t, h, w, 3]; retrieval_eval preprocesses
+        # only the stride-selected frames (~16x less host work than
+        # preprocessing everything before striding)
 
         captions = [" ".join(s) for s in self.captions[vid_id]]
         if self.augment:
@@ -281,7 +284,7 @@ class VideoDatasetActivityNet:
         video_path = self.video_files[idx]
         vid_id = video_path.split("/")[-1][:-4]
         vid = read_video_full(video_path)
-        frames = clip_preprocess_batch(vid)
+        frames = vid  # raw; preprocessed post-stride by retrieval_eval
         captions = [" ".join(s) for s in self.captions[vid_id]]
         return frames, tokenize(captions, truncate=True), vid_id
 
@@ -336,7 +339,7 @@ class VideoDatasetK700Comments:
 
     def __getitem__(self, index):
         vid = read_video_full(self.video_files[index])
-        frames = clip_preprocess_batch(vid)
+        frames = vid  # raw; preprocessed post-stride by retrieval_eval
         vid_id = self.video_files[index].split("/")[-1].split(".")[0]
         title_tok = tokenize_max_len(self.titles[index])
         comments_tok = tokenize_max_len(self.comments[index])

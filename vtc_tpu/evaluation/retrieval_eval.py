@@ -60,6 +60,21 @@ def _bucket(n: int, minimum: int = 1) -> int:
     return b
 
 
+def _ensure_preprocessed(chunks: np.ndarray, image_size: int = 224) -> np.ndarray:
+    """Raw uint8 [..., h, w, 3] frames (the eval datasets are decode-only
+    since round 2) get the CLIP transform here, AFTER stride/chunk selection
+    — preprocessing everything before striding cost ~16x the host work.
+    Float CHW inputs (precomputed or synthetic) pass through unchanged."""
+    arr = np.asarray(chunks)
+    if arr.dtype != np.uint8 or arr.shape[-1] != 3:
+        return arr
+    from ..data.datasets import clip_preprocess_batch
+
+    lead = arr.shape[:-3]
+    flat = clip_preprocess_batch(arr.reshape((-1,) + arr.shape[-3:]), image_size)
+    return flat.reshape(lead + flat.shape[1:])
+
+
 def chunk_frames(frames: np.ndarray, frame_stride: int, nframes: int = NFRAMES):
     """[t, c, h, w] -> [nchunks, nframes, c, h, w] with linspace-padded tail
     (``retrieval_evaluation.py:174-198``)."""
@@ -120,6 +135,7 @@ def retrieval_evaluation(
     needs_comments: Optional[bool] = None,
     dataset=None,
     data_roots: Optional[dict] = None,
+    image_size: int = 224,
 ):
     """Evaluate a model on a transfer dataset; returns the recall DataFrame."""
     from .. import data as module_data
@@ -176,12 +192,13 @@ def retrieval_evaluation(
         if first_frame_only:
             # single frame as a 1-image batch (4-D image path,
             # retrieval_evaluation.py:165-172)
-            chunks = np.asarray(frames)[0:1]
+            chunks = _ensure_preprocessed(np.asarray(frames)[0:1], image_size)
             assert not first_chunk_only
         elif is_video_model:
             chunks = chunk_frames(np.asarray(frames), frame_stride)
             if first_chunk_only:
                 chunks = chunks[0:1]
+            chunks = _ensure_preprocessed(chunks, image_size)
         ncap = captions.shape[0]
         nchunk = chunks.shape[0]
 
