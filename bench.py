@@ -123,11 +123,11 @@ def _measure_cpu() -> float:
 
 
 def main():
-    # fixed-harness sweep on v5e (realistic 16-token texts, round 2 with
-    # attention folding + bf16 weights), clean process each:
-    # 80 -> 5463/5536 pairs/s, 96 -> 5353, 112 -> 5448, 128 -> 5089,
-    # 64 -> 5021, 160 -> 5226, 192 -> 4886
-    batch = int(os.environ.get("BENCH_BATCH", 80))
+    # fixed-harness sweep on v5e (realistic 16-token texts; round 2 final:
+    # einsum-layout attention + bf16 logits buffers + bf16 weights), clean
+    # process each: 80 -> 5814, 96 -> 6000, 128 -> 5779, 160 -> 6054,
+    # 192 -> 5232, 240 -> 5943
+    batch = int(os.environ.get("BENCH_BATCH", 160))
     iters = int(os.environ.get("BENCH_ITERS", 16))
 
     ns = {}
