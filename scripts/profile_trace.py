@@ -1,0 +1,112 @@
+"""Capture a jax.profiler device trace of the flagship eval forward and print
+the top ops by self-time (parsed from the xplane.pb with tensorboard-plugin-
+profile's raw-to-tool conversion; falls back to listing planes).
+
+Run: python scripts/profile_trace.py [batch] [ntoks]
+"""
+
+import glob
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def capture(batch=160, ntoks=16, iters=8):
+    import jax
+    import jax.numpy as jnp
+
+    from vtc_tpu.models import create_model
+    from vtc_tpu.models.factory import convert_weights
+
+    module, variables = create_model(
+        "PretrainedCLIP_finaltf", model_type="ViT-B/32", seed=0,
+        dtype=jnp.bfloat16,
+    )
+    variables = dict(variables)
+    variables["params"] = convert_weights(variables["params"], jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    vis = jnp.asarray(
+        rng.normal(size=(batch, 3, 224, 224)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+
+    def make_tokens(lead, n_real=14):
+        toks = np.zeros(lead + (ntoks,), np.int32)
+        toks[..., 0] = 49406
+        toks[..., 1:1 + n_real] = rng.integers(1, 49405, lead + (n_real,))
+        toks[..., 1 + n_real] = 49407
+        return jnp.asarray(toks)
+
+    title = make_tokens((batch,))
+    comments = make_tokens((batch, 5))
+
+    @jax.jit
+    def fwd_n(variables, vis, title, comments, n):
+        def body(i, carry):
+            v = vis + carry * 1e-12
+            eps = (carry * 1e-12).astype(jnp.int32)
+            _, _, sim = module.apply(variables, v, title + eps, comments + eps)
+            return jnp.sum(sim).astype(vis.dtype)
+
+        return jax.lax.fori_loop(0, n, body, jnp.zeros((), vis.dtype))
+
+    # warm up / compile outside the trace
+    float(fwd_n(variables, vis, title, comments, jnp.int32(2)))
+
+    logdir = "/tmp/vtc_trace"
+    os.system(f"rm -rf {logdir}")
+    with jax.profiler.trace(logdir):
+        float(fwd_n(variables, vis, title, comments, jnp.int32(iters)))
+    return logdir, iters
+
+
+def parse(logdir, iters):
+    paths = glob.glob(f"{logdir}/**/*.xplane.pb", recursive=True)
+    if not paths:
+        print("no xplane.pb captured; files:", glob.glob(f"{logdir}/**", recursive=True))
+        return
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    xspace = xplane_pb2.XSpace()
+    with open(paths[0], "rb") as f:
+        xspace.ParseFromString(f.read())
+
+    import re
+
+    print("planes:", [p.name for p in xspace.planes])
+    for plane in xspace.planes:
+        if "TPU" not in plane.name:
+            continue
+        print(f"\n==== plane {plane.name}: lines "
+              f"{[(l.name, len(l.events)) for l in plane.lines]}")
+        for line in plane.lines:
+            totals = {}
+            counts = {}
+            for ev in line.events:
+                md = plane.event_metadata[ev.metadata_id].name
+                totals[md] = totals.get(md, 0) + ev.duration_ps
+                counts[md] = counts.get(md, 0) + 1
+            tot_all = sum(totals.values())
+            print(f"\n== line '{line.name}' sum "
+                  f"{tot_all / 1e12 / iters * 1e3:.2f} ms/iter")
+            # aggregate by opcode (the token after '=' in HLO text)
+            by_op = {}
+            for name, ps in totals.items():
+                m = re.search(r"= (?:\([^)]*\) )?\S*?([a-z][a-z0-9-]*)", name)
+                op = m.group(1) if m else name[:40]
+                t, c = by_op.get(op, (0, 0))
+                by_op[op] = (t + ps, c + counts[name])
+            for op, (ps, c) in sorted(by_op.items(), key=lambda kv: -kv[1][0])[:25]:
+                print(f"{ps / 1e12 / iters * 1e6:10.1f} us/iter  x{c:<6} {op}")
+
+
+if __name__ == "__main__":
+    b = int(sys.argv[1]) if len(sys.argv) > 1 else 160
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    logdir, iters = capture(b, n)
+    parse(logdir, iters)

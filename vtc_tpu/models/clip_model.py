@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .layers import LayerNorm32, Transformer, causal_mask
+from .layers import LayerNorm32, Transformer, causal_mask, ln_dense, use_fused_ln
 
 
 @dataclasses.dataclass(frozen=True)
@@ -119,11 +119,16 @@ class VisionTransformer(nn.Module):
             width, v.vision_layers, v.vision_heads, dtype=self.dtype,
             name="transformer",
         )(x)
-        x = LayerNorm32(name="ln_post")(x[:, 0, :])
 
         proj = self.param(
             "proj", nn.initializers.normal(scale), (width, v.embed_dim), jnp.float32
         )
+        if use_fused_ln(self.dtype):
+            ln_scale, ln_bias = LayerNorm32(name="ln_post")(
+                x, return_params=True
+            )
+            return ln_dense(x[:, 0, :], ln_scale, ln_bias, proj, None)
+        x = LayerNorm32(name="ln_post")(x[:, 0, :])
         return jnp.matmul(
             x, proj.astype(self.dtype), preferred_element_type=jnp.float32
         ).astype(self.dtype)
@@ -161,9 +166,10 @@ class TextTransformer(nn.Module):
             v.text_width, v.text_layers, v.text_heads, dtype=self.dtype,
             name="transformer",
         )(x, mask)
-        x = LayerNorm32(name="ln_final")(x)
 
-        # EOT pooling: the eot token has the highest id in the vocab.
+        # EOT pooling BEFORE ln_final: LayerNorm is per-token, so gathering
+        # the EOT row first is mathematically identical and skips normalizing
+        # the L-1 unused positions. (EOT = highest id in the vocab.)
         eot_idx = jnp.argmax(text, axis=-1)
         x = jnp.take_along_axis(x, eot_idx[:, None, None], axis=1)[:, 0]
 
@@ -173,6 +179,12 @@ class TextTransformer(nn.Module):
             (v.text_width, v.embed_dim),
             jnp.float32,
         )
+        if use_fused_ln(self.dtype):
+            ln_scale, ln_bias = LayerNorm32(name="ln_final")(
+                x, return_params=True
+            )
+            return ln_dense(x, ln_scale, ln_bias, text_projection, None)
+        x = LayerNorm32(name="ln_final")(x)
         return jnp.matmul(
             x, text_projection.astype(self.dtype), preferred_element_type=jnp.float32
         ).astype(self.dtype)

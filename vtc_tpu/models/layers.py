@@ -29,22 +29,109 @@ def quick_gelu(x):
 
 
 class LayerNorm32(nn.Module):
-    """LayerNorm computed in float32 regardless of activation dtype."""
+    """LayerNorm computed in float32 regardless of activation dtype.
+
+    ``__call__(x, return_params=True)`` declares the parameters and hands
+    them back instead of normalizing — used by the fused LN→Dense path
+    (``ln_dense``) so the parameter tree (``ln_*/scale``, ``ln_*/bias``)
+    stays checkpoint-identical while the math rides the following matmul.
+    """
 
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_params: bool = False):
         orig_dtype = x.dtype
         dim = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
+        if return_params:
+            return scale, bias
         x32 = x.astype(jnp.float32)
         mean = jnp.mean(x32, axis=-1, keepdims=True)
         var = jnp.var(x32, axis=-1, keepdims=True)
         y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
         y = y * scale + bias
         return y.astype(orig_dtype)
+
+
+def use_fused_ln(dtype) -> bool:
+    """Opt-in (``VTC_FUSED_LN=1``, bf16 mode only): fold every pre-LN
+    LayerNorm into the matmul it feeds (``ln_dense``). Measured on v5e:
+    eliminates the LayerNorm reductions entirely (9.9 ms → 0.07 ms of
+    ``convert_reduce_fusion`` per eval step, verified by device trace) but
+    the per-row affine correction redistributes into other elementwise
+    fusions and the end-to-end bench is a wash (median 5936 vs 5981 pairs/s
+    unfused, 3 clean-process runs each) — so XLA's native LayerNorm stays
+    the default. Kept test-covered (tests/test_fused_ln.py) as the
+    documented alternative; see PERFORMANCE.md "LayerNorm exploration"."""
+    return dtype == jnp.bfloat16 and os.environ.get("VTC_FUSED_LN", "0") == "1"
+
+
+def ln_dense(x, ln_scale, ln_bias, kernel, dense_bias, eps: float = 1e-5):
+    """``Dense(LayerNorm(x))`` restructured for the TPU's op economics.
+
+    Profiling (scripts/profile_trace.py) showed XLA's LayerNorm lowering
+    (`convert_reduce_fusion`, a VPU cross-lane reduction) costing ~400 µs per
+    call at `[160·50, 768]` — 41% of the flagship eval step summed over ~53
+    LayerNorms, while every matmul ran near the MXU roofline. Every pre-LN
+    LayerNorm in CLIP feeds a matmul, so the normalization is algebraically
+    foldable into it:
+
+        mean       from  x @ ones/d          (MXU lane reduction)
+        var        from  (x-mean)² @ ones/d  (centered two-pass: exact for
+                                              nearby values by Sterbenz, and
+                                              no E[x²]-E[x]² cancellation on
+                                              large-mean residual streams)
+        Dense(LN(x)) = ((x-mean)·rstd) @ (diag(scale)·W)  +  (bias @ W + b)
+
+    The per-element work is all bf16 on the VPU, both reductions ride the
+    MXU, and the scale/bias fold (`diag(scale)·W`, `bias@W + b`) is
+    loop-invariant so XLA hoists it out of compiled loops. bf16-mode only
+    (callers gate on ``use_fused_ln``); max observed deviation vs the fp32
+    reference path is ~1 bf16 ulp (tests/test_fused_ln.py).
+
+    No elementwise pass over x is ever materialized: the centered square
+    rides the s2 dot as a fused operand, the main GEMM consumes raw x, and
+    the normalization is a per-row affine correction fused into the GEMM
+    epilogue:
+
+        y = rstd · (x@W' − mean·colsum(W')) + (bias@W + b)
+
+    (mean-correction in fp32: for a stream with |mean| ≤ ~100 the fp32
+    cancellation error is ≤ 1e-5 relative — far below bf16 output quanta.)
+
+    ``x``: [..., d]; ``kernel``: [d, out] (fp32 or bf16); returns [..., out]
+    in x.dtype.
+    """
+    d = x.shape[-1]
+    dt = x.dtype
+
+    ones = jnp.full((d, 128), 1.0 / d, dt)
+    m = jnp.einsum(
+        "...d,dk->...k", x, ones, preferred_element_type=jnp.float32
+    )[..., :1]
+    mb = m.astype(dt)
+    # x - mb is exact for nearby values (Sterbenz); mb carries up to half an
+    # activation-dtype ulp of the true mean — fold that fp32 residual into
+    # the variance instead of the data: E[(x-mb)²] = var + (m-mb)².
+    r = m - mb.astype(jnp.float32)
+    xc = x - mb
+    s2 = jnp.einsum(
+        "...d,dk->...k", xc * xc, ones, preferred_element_type=jnp.float32
+    )[..., :1]
+    var = s2 - r * r
+    rstd = jax.lax.rsqrt(var + eps)
+
+    k32 = kernel.astype(jnp.float32)
+    kp = (ln_scale[:, None] * k32).astype(dt)
+    wbar = jnp.sum(kp.astype(jnp.float32), axis=0)  # colsum(W'), [out]
+    bp = ln_bias @ k32
+    if dense_bias is not None:
+        bp = bp + dense_bias
+    g = jnp.einsum("...d,dk->...k", x, kp, preferred_element_type=jnp.float32)
+    y = rstd * (g - m * wbar) + bp
+    return y.astype(dt)
 
 
 def _dot(a, b):
@@ -89,7 +176,7 @@ class MultiHeadAttention(nn.Module):
     seq_fold: int = 1
 
     @nn.compact
-    def __call__(self, x, mask: Optional[jax.Array] = None):
+    def __call__(self, x, mask: Optional[jax.Array] = None, ln_params=None):
         e, h = self.embed_dim, self.num_heads
         head_dim = e // h
         assert head_dim * h == e
@@ -104,9 +191,16 @@ class MultiHeadAttention(nn.Module):
             "in_proj_bias", nn.initializers.zeros, (3 * e,), jnp.float32
         )
 
-        qkv = _dot(x, in_proj_weight.astype(self.dtype).T) + in_proj_bias.astype(
-            self.dtype
-        )
+        if ln_params is not None:
+            # fused pre-LN: the block's ln_1 rides the qkv matmul (ln_dense)
+            ln_scale, ln_bias = ln_params
+            qkv = ln_dense(
+                x, ln_scale, ln_bias, in_proj_weight.T, in_proj_bias
+            )
+        else:
+            qkv = _dot(
+                x, in_proj_weight.astype(self.dtype).T
+            ) + in_proj_bias.astype(self.dtype)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         fold = self.seq_fold
@@ -200,6 +294,25 @@ class MultiHeadAttention(nn.Module):
         )(out)
 
 
+class _DenseParams(nn.Module):
+    """Declares an ``nn.Dense``-identical (kernel, bias) pair without
+    applying it — the fused LN→Dense path needs the raw parameters while
+    keeping the checkpoint tree byte-compatible (e.g. ``mlp/c_fc/kernel``)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, d_in: int):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (d_in, self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        return kernel, bias
+
+
 class MLPBlock(nn.Module):
     """CLIP MLP: c_fc (E -> 4E) -> QuickGELU -> c_proj (4E -> E)."""
 
@@ -207,10 +320,17 @@ class MLPBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        x = nn.Dense(
-            self.width * 4, dtype=self.dtype, param_dtype=jnp.float32, name="c_fc"
-        )(x)
+    def __call__(self, x, ln_params=None):
+        if ln_params is not None:
+            kernel, bias = _DenseParams(self.width * 4, name="c_fc")(
+                x.shape[-1]
+            )
+            x = ln_dense(x, ln_params[0], ln_params[1], kernel, bias)
+        else:
+            x = nn.Dense(
+                self.width * 4, dtype=self.dtype, param_dtype=jnp.float32,
+                name="c_fc",
+            )(x)
         x = quick_gelu(x)
         x = nn.Dense(
             self.width, dtype=self.dtype, param_dtype=jnp.float32, name="c_proj"
@@ -228,13 +348,19 @@ class ResidualAttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask: Optional[jax.Array] = None):
-        x = x + MultiHeadAttention(
+        attn = MultiHeadAttention(
             self.width, self.heads, dtype=self.dtype, name="attn",
             seq_fold=self.seq_fold,
-        )(LayerNorm32(name="ln_1")(x), mask)
-        x = x + MLPBlock(self.width, dtype=self.dtype, name="mlp")(
-            LayerNorm32(name="ln_2")(x)
         )
+        mlp = MLPBlock(self.width, dtype=self.dtype, name="mlp")
+        if use_fused_ln(self.dtype):
+            ln1 = LayerNorm32(name="ln_1")(x, return_params=True)
+            x = x + attn(x, mask, ln_params=ln1)
+            ln2 = LayerNorm32(name="ln_2")(x, return_params=True)
+            x = x + mlp(x, ln_params=ln2)
+        else:
+            x = x + attn(LayerNorm32(name="ln_1")(x), mask)
+            x = x + mlp(LayerNorm32(name="ln_2")(x))
         return x
 
 

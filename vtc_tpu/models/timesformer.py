@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .clip_model import ClipVariant, patchify
-from .layers import LayerNorm32, MLPBlock, MultiHeadAttention
+from .layers import LayerNorm32, MLPBlock, MultiHeadAttention, use_fused_ln
 
 
 class TimeSformerBlock(nn.Module):
@@ -45,16 +45,22 @@ class TimeSformerBlock(nn.Module):
         t = nframes
         n = (L - 1) // t
 
+        fused_ln = use_fused_ln(self.dtype)
         patches = x[:, 1:].reshape(b, n, t, m)
 
         # Temporal attention per patch location (timesformer_clip_alt.py:141-149)
         xt = patches.reshape(b * n, t, m)
         # t=8 leaves 94% of the attention matmul lanes idle; auto batch-fold
         # packs 16 patch locations per call (layers.pick_seq_fold)
-        res_t = MultiHeadAttention(
+        timeattn = MultiHeadAttention(
             self.width, self.heads, dtype=self.dtype, name="timeattn",
             seq_fold=0,
-        )(LayerNorm32(name="ln_time")(xt))
+        )
+        ln_time = LayerNorm32(name="ln_time")
+        if fused_ln:
+            res_t = timeattn(xt, ln_params=ln_time(xt, return_params=True))
+        else:
+            res_t = timeattn(ln_time(xt))
         res_t = res_t.reshape(b, n, t, m)
         res_t = nn.Dense(
             m, dtype=self.dtype, param_dtype=jnp.float32, name="temporal_fc"
@@ -69,9 +75,14 @@ class TimeSformerBlock(nn.Module):
         )
         xs = jnp.swapaxes(xt, 1, 2).reshape(b * t, n, m)  # [(b t), n, m]
         xs = jnp.concatenate([cls_rep, xs], axis=1)
-        res_s = MultiHeadAttention(
+        spatial_attn = MultiHeadAttention(
             self.width, self.heads, dtype=self.dtype, name="attn"
-        )(LayerNorm32(name="ln_1")(xs))
+        )
+        ln_1 = LayerNorm32(name="ln_1")
+        if fused_ln:
+            res_s = spatial_attn(xs, ln_params=ln_1(xs, return_params=True))
+        else:
+            res_s = spatial_attn(ln_1(xs))
 
         cls_out = res_s[:, 0].reshape(b, t, m)
         cls_out = jnp.mean(cls_out, axis=1, keepdims=True)  # averaged over frames
@@ -81,9 +92,12 @@ class TimeSformerBlock(nn.Module):
         x = jnp.concatenate(
             [init_cls, xt.reshape(b, n * t, m)], axis=1
         ) + jnp.concatenate([cls_out, res_s.reshape(b, n * t, m)], axis=1)
-        x = x + MLPBlock(self.width, dtype=self.dtype, name="mlp")(
-            LayerNorm32(name="ln_2")(x)
-        )
+        mlp = MLPBlock(self.width, dtype=self.dtype, name="mlp")
+        ln_2 = LayerNorm32(name="ln_2")
+        if fused_ln:
+            x = x + mlp(x, ln_params=ln_2(x, return_params=True))
+        else:
+            x = x + mlp(ln_2(x))
         return x
 
 
