@@ -164,14 +164,66 @@ def attn_variants(batch=128, seq=50, width=768, heads=12):
 
         return v_folded
 
+    def v_custom_softmax(carry, x):
+        """bf16 logits + bf16 exp buffer, fp32 sum, divide AFTER the AV matmul
+        (normalizer folded out of the [.., L, M] plane into [.., L, Dh])."""
+        xx = x + carry.astype(jnp.bfloat16) * 1e-12
+        q, k, v = qkv_proj(xx)
+        q = q.reshape(batch, seq, heads, head_dim) * scale
+        k = k.reshape(batch, seq, heads, head_dim)
+        v = v.reshape(batch, seq, heads, head_dim)
+        logits = jnp.einsum(
+            "blhd,bmhd->bhlm", q, k, preferred_element_type=jnp.float32
+        ).astype(jnp.bfloat16)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp((logits - m).astype(jnp.float32)).astype(jnp.bfloat16)
+        s = jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32)
+        o = jnp.einsum(
+            "bhlm,bmhd->blhd", e, v, preferred_element_type=jnp.float32
+        )
+        o = (o / jnp.moveaxis(s, 1, 2)).astype(jnp.bfloat16)
+        return jnp.sum(out_proj(o.reshape(batch, seq, width))).astype(jnp.float32)
+
+    def make_folded_custom(f):
+        def v_folded(carry, x):
+            xx = x + carry.astype(jnp.bfloat16) * 1e-12
+            q, k, v = qkv_proj(xx)
+
+            def fold(t):
+                return t.reshape(batch // f, f * seq, heads, head_dim)
+
+            logits = jnp.einsum(
+                "blhd,bmhd->bhlm", fold(q) * scale, fold(k),
+                preferred_element_type=jnp.float32,
+            )
+            idx = jnp.arange(f * seq) // seq
+            same = idx[:, None] == idx[None, :]
+            fmask = jnp.where(same, 0.0, -jnp.inf).astype(jnp.float32)
+            logits = (logits + fmask).astype(jnp.bfloat16)
+            m = jnp.max(logits, axis=-1, keepdims=True)
+            e = jnp.exp((logits - m).astype(jnp.float32)).astype(jnp.bfloat16)
+            s = jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32)
+            o = jnp.einsum(
+                "bhlm,bmhd->blhd", e, fold(v),
+                preferred_element_type=jnp.float32,
+            )
+            o = (o / jnp.moveaxis(s, 1, 2)).astype(jnp.bfloat16)
+            return jnp.sum(out_proj(o.reshape(batch, seq, width))).astype(
+                jnp.float32
+            )
+
+        return v_folded
+
     timed("current (moveaxis, fp32 logits)", v_current, x)
     timed("einsum bhlm, fp32 logits", v_einsum_f32, x)
     timed("einsum bhlm, bf16 logits/fp32 softmax", v_einsum_bf16, x)
     timed("einsum bhlm, bf16 softmax", v_einsum_softmax_bf16, x)
+    timed("einsum bhlm, custom softmax div-after-AV", v_custom_softmax, x)
     for f in (2, 4, 8):
         if batch % f == 0 and f * seq <= 192:
             timed(f"einsum fold={f}, fp32 logits", make_folded(f, False), x)
             timed(f"einsum fold={f}, bf16 logits", make_folded(f, True), x)
+            timed(f"einsum fold={f}, custom softmax", make_folded_custom(f), x)
 
 
 def patch_variants(batch=128):
