@@ -1,0 +1,98 @@
+"""Device throughput of the full finetune train step (forward + backward +
+4-group Adam/amsgrad update) on the flagship image model.
+
+Same measurement discipline as bench.py. The compiled step is iterated with
+lax.fori_loop carrying the TrainState, so optimizer updates chain exactly as
+in training.
+
+Run: python scripts/bench_train_step.py [batch] [ntoks] [arch]
+  VTC_REMAT=1 for the memory-bound configs.
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main(batch=128, ntoks=16, arch="PretrainedCLIP_finaltf", frames=0,
+         iters=8, warmup=2):
+    import jax
+    import jax.numpy as jnp
+
+    from vtc_tpu.models import create_model
+    from vtc_tpu.ops.losses import clip_loss
+    from vtc_tpu.training.optim import build_optimizer
+    from vtc_tpu.training.trainer import TrainState, make_step_fns
+
+    kwargs = {"nframes": frames} if frames else {}
+    module, variables = create_model(
+        arch, model_type="ViT-B/32", seed=0, dtype=jnp.bfloat16, **kwargs
+    )
+    tx = build_optimizer(
+        variables["params"],
+        {"type": "Adam", "args": {"lr": 1e-5, "amsgrad": True}},
+        {"type": "StepLR", "args": {"step_size": 10, "gamma": 0.1}},
+        steps_per_epoch=100,
+        adapter_lr=1e-4,
+        time_lr=1e-5,
+    )
+    train_step, _ = make_step_fns(module, clip_loss, tx, donate=False)
+
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        opt_state=tx.init(variables["params"]),
+        batch_stats=variables.get("batch_stats", {}),
+    )
+
+    rng = np.random.default_rng(0)
+    shape = (batch, frames, 3, 224, 224) if frames else (batch, 3, 224, 224)
+    vis = jnp.asarray(rng.normal(size=shape).astype(np.float32)).astype(
+        jnp.bfloat16
+    )
+
+    def make_tokens(lead, n_real=14):
+        toks = np.zeros(lead + (ntoks,), np.int32)
+        toks[..., 0] = 49406
+        toks[..., 1:1 + n_real] = rng.integers(1, 49405, lead + (n_real,))
+        toks[..., 1 + n_real] = 49407
+        return jnp.asarray(toks)
+
+    title = make_tokens((batch,))
+    comments = make_tokens((batch, 5))
+
+    @jax.jit
+    def run_n(state, vis, title, comments, n):
+        def body(i, state):
+            new_state, loss, _ = train_step(
+                state, (vis, title, comments), {}, jax.random.PRNGKey(0)
+            )
+            return new_state
+
+        return jax.lax.fori_loop(0, n, body, state)
+
+    s = run_n(state, vis, title, comments, jnp.int32(warmup))
+    float(jnp.sum(s.step).astype(jnp.float32))
+    best = 0.0
+    for _ in range(2):
+        tic = time.perf_counter()
+        s2 = run_n(s, vis, title, comments, jnp.int32(iters))
+        float(jnp.sum(s2.step).astype(jnp.float32))
+        dt = time.perf_counter() - tic
+        best = max(best, batch * iters / dt)
+    ms = batch / best * 1e3
+    print(f"train step: {best:.0f} samples/s ({ms:.1f} ms/step, batch {batch},"
+          f" {ntoks}-token texts, arch {arch})")
+
+
+if __name__ == "__main__":
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    ntoks = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    arch = sys.argv[3] if len(sys.argv) > 3 else "PretrainedCLIP_finaltf"
+    frames = int(sys.argv[4]) if len(sys.argv) > 4 else 0
+    main(batch, ntoks, arch, frames)

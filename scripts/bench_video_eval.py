@@ -1,0 +1,71 @@
+"""Device throughput of the video eval forward (TimeSformer 8f + CAM).
+
+Same measurement discipline as bench.py (device-side fori_loop, data-
+dependent inputs, host-transfer sync, best of two windows).
+
+Run: python scripts/bench_video_eval.py [batch] [frames] [ntoks]
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main(batch=32, frames=8, ntoks=16, iters=8, warmup=2):
+    import jax
+    import jax.numpy as jnp
+
+    from vtc_tpu.models import create_model
+    from vtc_tpu.models.factory import convert_weights
+
+    module, variables = create_model(
+        "PretrainedCLIP_TimeSformer_finaltf", model_type="ViT-B/32",
+        nframes=frames, seed=0, dtype=jnp.bfloat16,
+    )
+    variables = dict(variables)
+    variables["params"] = convert_weights(variables["params"], jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    vis = jnp.asarray(
+        rng.normal(size=(batch, frames, 3, 224, 224)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+
+    def make_tokens(lead, n_real=14):
+        toks = np.zeros(lead + (ntoks,), np.int32)
+        toks[..., 0] = 49406
+        toks[..., 1:1 + n_real] = rng.integers(1, 49405, lead + (n_real,))
+        toks[..., 1 + n_real] = 49407
+        return jnp.asarray(toks)
+
+    title = make_tokens((batch,))
+    comments = make_tokens((batch, 5))
+
+    @jax.jit
+    def fwd_n(variables, vis, title, comments, n):
+        def body(i, carry):
+            v = vis + carry * 1e-12
+            eps = (carry * 1e-12).astype(jnp.int32)
+            _, _, sim = module.apply(variables, v, title + eps, comments + eps)
+            return jnp.sum(sim).astype(vis.dtype)
+
+        return jax.lax.fori_loop(0, n, body, jnp.zeros((), vis.dtype))
+
+    float(fwd_n(variables, vis, title, comments, jnp.int32(warmup)))
+    best = 0.0
+    for _ in range(2):
+        tic = time.perf_counter()
+        float(fwd_n(variables, vis, title, comments, jnp.int32(iters)))
+        dt = time.perf_counter() - tic
+        best = max(best, batch * iters / dt)
+    print(f"video eval: {best:.0f} clip-pairs/s "
+          f"(batch {batch}, {frames} frames, {ntoks}-token texts)")
+
+
+if __name__ == "__main__":
+    args = [int(a) for a in sys.argv[1:]]
+    main(*args)
