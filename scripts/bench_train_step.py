@@ -41,7 +41,8 @@ def main(batch=128, ntoks=16, arch="PretrainedCLIP_finaltf", frames=0,
         adapter_lr=1e-4,
         time_lr=1e-5,
     )
-    train_step, _ = make_step_fns(module, clip_loss, tx, donate=False)
+    donate = os.environ.get("BENCH_DONATE", "1") == "1"
+    train_step, _ = make_step_fns(module, clip_loss, tx, donate=donate)
 
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
