@@ -149,3 +149,70 @@ def test_entry_compiles_tiny():
     sim = fn(jnp.asarray(vis), jnp.asarray(title), jnp.asarray(comments))
     assert sim.shape == (4, 4)
     assert np.isfinite(np.asarray(sim)).all()
+
+
+def test_collective_profile_is_pinned():
+    """Audit the GSPMD collectives of the compiled dp/dp×tp train step on
+    the CPU mesh (the multichip comms contract this framework ships).
+
+    * pure data-parallel must need NO resharding collectives — only
+      gradient/loss all-reduces and the contrastive loss's embedding
+      all-gathers (in-batch InfoNCE is global by construction);
+    * dp×tp adds resharding (all-to-all / collective-permute) because the
+      fused-qkv row split is not head-aligned (documented caveat,
+      PARITY.md §2.3) — this pin is the regression ceiling so rule changes
+      can't silently double the comms.
+    """
+    import re
+
+    from vtc_tpu.ops.losses import clip_loss
+    from vtc_tpu.parallel.mesh import tree_shardings
+
+    def counts(n_data, n_model):
+        mesh = create_mesh(n_data, n_model)
+        module, variables = create_model(
+            "PretrainedCLIP", model_type="test-tiny", seed=0
+        )
+        params = jax.device_put(
+            variables["params"], tree_shardings(variables["params"], mesh)
+        )
+        rng = np.random.default_rng(0)
+        vis = jax.device_put(
+            rng.normal(size=(8, 3, 32, 32)).astype(np.float32),
+            NamedSharding(mesh, P(DATA_AXIS)),
+        )
+        toks = jax.device_put(
+            rng.integers(1, 49000, (8, 12)).astype(np.int32),
+            NamedSharding(mesh, P(DATA_AXIS)),
+        )
+
+        def loss_fn(params, vis, toks):
+            return clip_loss(module.apply({"params": params}, vis, toks), {})
+
+        with mesh:
+            txt = (
+                jax.jit(jax.value_and_grad(loss_fn))
+                .lower(params, vis, toks)
+                .compile()
+                .as_text()
+            )
+        out = {}
+        for op in (
+            "all-reduce", "all-gather", "reduce-scatter",
+            "collective-permute", "all-to-all",
+        ):
+            out[op] = len(re.findall(rf"\b{op}(?:-start)?\.", txt)) + len(
+                re.findall(rf" {op}\(", txt)
+            )
+        return out
+
+    dp = counts(8, 1)
+    assert dp["all-to-all"] == 0 and dp["collective-permute"] == 0, dp
+    assert dp["all-reduce"] > 0  # gradient psums exist
+
+    dptp = counts(4, 2)
+    # measured profile at pin time: ar=213 ag=44 cp=22 a2a=64; ceiling 1.5x
+    assert dptp["all-reduce"] <= 320, dptp
+    assert dptp["all-gather"] <= 70, dptp
+    assert dptp["collective-permute"] <= 35, dptp
+    assert dptp["all-to-all"] <= 100, dptp
