@@ -23,6 +23,11 @@ import jax.numpy as jnp
 
 
 def timed(name, fn, *args, iters=32, warmup=3):
+    """NB: pass every tensor (weights included) through *args — closing
+    over arrays inside the jitted loop bakes them into the HLO as
+    constants, which measures a different program than the shipped model
+    path (CLAUDE.md: params are always jit arguments)."""
+
     @jax.jit
     def loop(n, *args):
         def body(i, carry):
@@ -53,21 +58,21 @@ def attn_variants(batch=128, seq=50, width=768, heads=12):
 
     scale = head_dim**-0.5
 
-    def qkv_proj(xx):
+    def qkv_proj(xx, wqkv):
         qkv = jnp.matmul(xx, wqkv, preferred_element_type=jnp.float32).astype(
             jnp.bfloat16
         )
         return jnp.split(qkv, 3, axis=-1)
 
-    def out_proj(o):
+    def out_proj(o, wout):
         return jnp.matmul(o, wout, preferred_element_type=jnp.float32).astype(
             jnp.bfloat16
         )
 
-    def v_current(carry, x):
+    def v_current(carry, x, wqkv, wout):
         """moveaxis heads, fp32 logits (the shipped unfolded path)."""
         xx = x + carry.astype(jnp.bfloat16) * 1e-12
-        q, k, v = qkv_proj(xx)
+        q, k, v = qkv_proj(xx, wqkv)
 
         def hsplit(t):
             t = t.reshape(batch, seq, heads, head_dim)
@@ -82,12 +87,12 @@ def attn_variants(batch=128, seq=50, width=768, heads=12):
             jnp.bfloat16
         )
         o = jnp.moveaxis(o, -3, -2).reshape(batch, seq, width)
-        return jnp.sum(out_proj(o)).astype(jnp.float32)
+        return jnp.sum(out_proj(o, wout)).astype(jnp.float32)
 
-    def v_einsum_f32(carry, x):
+    def v_einsum_f32(carry, x, wqkv, wout):
         """einsum bhlm layout (no explicit moveaxis), fp32 logits."""
         xx = x + carry.astype(jnp.bfloat16) * 1e-12
-        q, k, v = qkv_proj(xx)
+        q, k, v = qkv_proj(xx, wqkv)
         q = q.reshape(batch, seq, heads, head_dim) * scale
         k = k.reshape(batch, seq, heads, head_dim)
         v = v.reshape(batch, seq, heads, head_dim)
@@ -98,12 +103,12 @@ def attn_variants(batch=128, seq=50, width=768, heads=12):
         o = jnp.einsum(
             "bhlm,bmhd->blhd", attn, v, preferred_element_type=jnp.float32
         ).astype(jnp.bfloat16)
-        return jnp.sum(out_proj(o.reshape(batch, seq, width))).astype(jnp.float32)
+        return jnp.sum(out_proj(o.reshape(batch, seq, width), wout)).astype(jnp.float32)
 
-    def v_einsum_bf16(carry, x):
+    def v_einsum_bf16(carry, x, wqkv, wout):
         """einsum layout + bf16 logits buffer (softmax still subtracts max)."""
         xx = x + carry.astype(jnp.bfloat16) * 1e-12
-        q, k, v = qkv_proj(xx)
+        q, k, v = qkv_proj(xx, wqkv)
         q = q.reshape(batch, seq, heads, head_dim) * scale
         k = k.reshape(batch, seq, heads, head_dim)
         v = v.reshape(batch, seq, heads, head_dim)
@@ -116,12 +121,12 @@ def attn_variants(batch=128, seq=50, width=768, heads=12):
         o = jnp.einsum(
             "bhlm,bmhd->blhd", attn, v, preferred_element_type=jnp.float32
         ).astype(jnp.bfloat16)
-        return jnp.sum(out_proj(o.reshape(batch, seq, width))).astype(jnp.float32)
+        return jnp.sum(out_proj(o.reshape(batch, seq, width), wout)).astype(jnp.float32)
 
-    def v_einsum_softmax_bf16(carry, x):
+    def v_einsum_softmax_bf16(carry, x, wqkv, wout):
         """einsum layout, softmax computed fully in bf16 (max-sub in bf16)."""
         xx = x + carry.astype(jnp.bfloat16) * 1e-12
-        q, k, v = qkv_proj(xx)
+        q, k, v = qkv_proj(xx, wqkv)
         q = q.reshape(batch, seq, heads, head_dim) * scale
         k = k.reshape(batch, seq, heads, head_dim)
         v = v.reshape(batch, seq, heads, head_dim)
@@ -132,12 +137,12 @@ def attn_variants(batch=128, seq=50, width=768, heads=12):
         o = jnp.einsum(
             "bhlm,bmhd->blhd", attn, v, preferred_element_type=jnp.float32
         ).astype(jnp.bfloat16)
-        return jnp.sum(out_proj(o.reshape(batch, seq, width))).astype(jnp.float32)
+        return jnp.sum(out_proj(o.reshape(batch, seq, width), wout)).astype(jnp.float32)
 
     def make_folded(f, bf16_logits):
-        def v_folded(carry, x):
+        def v_folded(carry, x, wqkv, wout):
             xx = x + carry.astype(jnp.bfloat16) * 1e-12
-            q, k, v = qkv_proj(xx)
+            q, k, v = qkv_proj(xx, wqkv)
 
             def fold(t):
                 return t.reshape(batch // f, f * seq, heads, head_dim)
@@ -158,17 +163,17 @@ def attn_variants(batch=128, seq=50, width=768, heads=12):
                 "bhlm,bmhd->blhd", attn, fold(v),
                 preferred_element_type=jnp.float32,
             ).astype(jnp.bfloat16)
-            return jnp.sum(out_proj(o.reshape(batch, seq, width))).astype(
+            return jnp.sum(out_proj(o.reshape(batch, seq, width), wout)).astype(
                 jnp.float32
             )
 
         return v_folded
 
-    def v_custom_softmax(carry, x):
+    def v_custom_softmax(carry, x, wqkv, wout):
         """bf16 logits + bf16 exp buffer, fp32 sum, divide AFTER the AV matmul
         (normalizer folded out of the [.., L, M] plane into [.., L, Dh])."""
         xx = x + carry.astype(jnp.bfloat16) * 1e-12
-        q, k, v = qkv_proj(xx)
+        q, k, v = qkv_proj(xx, wqkv)
         q = q.reshape(batch, seq, heads, head_dim) * scale
         k = k.reshape(batch, seq, heads, head_dim)
         v = v.reshape(batch, seq, heads, head_dim)
@@ -182,12 +187,12 @@ def attn_variants(batch=128, seq=50, width=768, heads=12):
             "bhlm,bmhd->blhd", e, v, preferred_element_type=jnp.float32
         )
         o = (o / jnp.moveaxis(s, 1, 2)).astype(jnp.bfloat16)
-        return jnp.sum(out_proj(o.reshape(batch, seq, width))).astype(jnp.float32)
+        return jnp.sum(out_proj(o.reshape(batch, seq, width), wout)).astype(jnp.float32)
 
     def make_folded_custom(f):
-        def v_folded(carry, x):
+        def v_folded(carry, x, wqkv, wout):
             xx = x + carry.astype(jnp.bfloat16) * 1e-12
-            q, k, v = qkv_proj(xx)
+            q, k, v = qkv_proj(xx, wqkv)
 
             def fold(t):
                 return t.reshape(batch // f, f * seq, heads, head_dim)
@@ -208,22 +213,22 @@ def attn_variants(batch=128, seq=50, width=768, heads=12):
                 preferred_element_type=jnp.float32,
             )
             o = (o / jnp.moveaxis(s, 1, 2)).astype(jnp.bfloat16)
-            return jnp.sum(out_proj(o.reshape(batch, seq, width))).astype(
+            return jnp.sum(out_proj(o.reshape(batch, seq, width), wout)).astype(
                 jnp.float32
             )
 
         return v_folded
 
-    timed("current (moveaxis, fp32 logits)", v_current, x)
-    timed("einsum bhlm, fp32 logits", v_einsum_f32, x)
-    timed("einsum bhlm, bf16 logits/fp32 softmax", v_einsum_bf16, x)
-    timed("einsum bhlm, bf16 softmax", v_einsum_softmax_bf16, x)
-    timed("einsum bhlm, custom softmax div-after-AV", v_custom_softmax, x)
+    timed("current (moveaxis, fp32 logits)", v_current, x, wqkv, wout)
+    timed("einsum bhlm, fp32 logits", v_einsum_f32, x, wqkv, wout)
+    timed("einsum bhlm, bf16 logits/fp32 softmax", v_einsum_bf16, x, wqkv, wout)
+    timed("einsum bhlm, bf16 softmax", v_einsum_softmax_bf16, x, wqkv, wout)
+    timed("einsum bhlm, custom softmax div-after-AV", v_custom_softmax, x, wqkv, wout)
     for f in (2, 4, 8):
         if batch % f == 0 and f * seq <= 192:
-            timed(f"einsum fold={f}, fp32 logits", make_folded(f, False), x)
-            timed(f"einsum fold={f}, bf16 logits", make_folded(f, True), x)
-            timed(f"einsum fold={f}, custom softmax", make_folded_custom(f), x)
+            timed(f"einsum fold={f}, fp32 logits", make_folded(f, False), x, wqkv, wout)
+            timed(f"einsum fold={f}, bf16 logits", make_folded(f, True), x, wqkv, wout)
+            timed(f"einsum fold={f}, custom softmax", make_folded_custom(f), x, wqkv, wout)
 
 
 def patch_variants(batch=128):
@@ -238,7 +243,7 @@ def patch_variants(batch=128):
     w_flat = w.reshape(768, -1).T  # [3*32*32, 768]
     w_hwio = jnp.transpose(w, (2, 3, 1, 0))  # HWIO
 
-    def v_reshape_matmul(carry, img):
+    def v_reshape_matmul(carry, img, w, w_flat, w_hwio):
         x = img + carry.astype(jnp.bfloat16) * 1e-12
         b, c, h, ww = x.shape
         x = x.reshape(b, c, 7, 32, 7, 32).transpose(0, 2, 4, 1, 3, 5)
@@ -246,7 +251,7 @@ def patch_variants(batch=128):
         out = jnp.matmul(x, w_flat, preferred_element_type=jnp.float32)
         return jnp.sum(out).astype(jnp.float32)
 
-    def v_conv_nchw(carry, img):
+    def v_conv_nchw(carry, img, w, w_flat, w_hwio):
         x = img + carry.astype(jnp.bfloat16) * 1e-12
         out = jax.lax.conv_general_dilated(
             x, w, (32, 32), "VALID",
@@ -255,7 +260,7 @@ def patch_variants(batch=128):
         )
         return jnp.sum(out).astype(jnp.float32)
 
-    def v_conv_nhwc(carry, img):
+    def v_conv_nhwc(carry, img, w, w_flat, w_hwio):
         x = img + carry.astype(jnp.bfloat16) * 1e-12
         x = jnp.transpose(x, (0, 2, 3, 1))
         out = jax.lax.conv_general_dilated(
@@ -265,7 +270,7 @@ def patch_variants(batch=128):
         )
         return jnp.sum(out).astype(jnp.float32)
 
-    def v_dot_general(carry, img):
+    def v_dot_general(carry, img, w, w_flat, w_hwio):
         """contract (c, ph, pw) directly without a materialized transpose."""
         x = img + carry.astype(jnp.bfloat16) * 1e-12
         x = x.reshape(batch, 3, 7, 32, 7, 32)
@@ -277,7 +282,7 @@ def patch_variants(batch=128):
         )  # [b, 7, 7, 768]
         return jnp.sum(out).astype(jnp.float32)
 
-    def v_nhwc_input(carry, img):
+    def v_nhwc_input(carry, img, w, w_flat, w_hwio):
         """if the host shipped NHWC: reshape+transpose from [b,h,w,c]."""
         x = img + carry.astype(jnp.bfloat16) * 1e-12
         x = jnp.transpose(x, (0, 2, 3, 1))  # simulate NHWC arrival (not timed separately)
@@ -288,11 +293,14 @@ def patch_variants(batch=128):
         out = jnp.matmul(x, w2, preferred_element_type=jnp.float32)
         return jnp.sum(out).astype(jnp.float32)
 
-    timed("reshape+transpose+matmul (current)", v_reshape_matmul, img)
-    timed("lax.conv NCHW", v_conv_nchw, img)
-    timed("lax.conv NHWC (incl. layout transpose)", v_conv_nhwc, img)
-    timed("dot_general multi-contract", v_dot_general, img)
-    timed("NHWC-style reshape (incl. transpose)", v_nhwc_input, img)
+    for name, fn in [
+        ("reshape+transpose+matmul (current)", v_reshape_matmul),
+        ("lax.conv NCHW", v_conv_nchw),
+        ("lax.conv NHWC (incl. layout transpose)", v_conv_nhwc),
+        ("dot_general multi-contract", v_dot_general),
+        ("NHWC-style reshape (incl. transpose)", v_nhwc_input),
+    ]:
+        timed(name, fn, img, w, w_flat, w_hwio)
 
 
 def ln_variants(batch=128, seq=50, width=768):
@@ -303,7 +311,7 @@ def ln_variants(batch=128, seq=50, width=768):
     scale = jnp.ones((width,), jnp.float32)
     bias = jnp.zeros((width,), jnp.float32)
 
-    def v_fp32(carry, x):
+    def v_fp32(carry, x, scale, bias):
         xx = (x + carry.astype(jnp.bfloat16) * 1e-12).astype(jnp.float32)
         mean = jnp.mean(xx, axis=-1, keepdims=True)
         var = jnp.var(xx, axis=-1, keepdims=True)
@@ -311,7 +319,7 @@ def ln_variants(batch=128, seq=50, width=768):
         y = (y * scale + bias).astype(jnp.bfloat16)
         return jnp.sum(y).astype(jnp.float32)
 
-    def v_bf16(carry, x):
+    def v_bf16(carry, x, scale, bias):
         xx = x + carry.astype(jnp.bfloat16) * 1e-12
         mean = jnp.mean(xx, axis=-1, keepdims=True, dtype=jnp.float32)
         xc = xx.astype(jnp.float32) - mean
@@ -320,8 +328,8 @@ def ln_variants(batch=128, seq=50, width=768):
         y = y * scale.astype(jnp.bfloat16) + bias.astype(jnp.bfloat16)
         return jnp.sum(y).astype(jnp.float32)
 
-    timed("LN fp32 compute (current)", v_fp32, x)
-    timed("LN bf16 out / fp32 stats", v_bf16, x)
+    timed("LN fp32 compute (current)", v_fp32, x, scale, bias)
+    timed("LN bf16 out / fp32 stats", v_bf16, x, scale, bias)
 
 
 if __name__ == "__main__":

@@ -49,13 +49,18 @@ def test_ln_dense_matches_reference_fp32():
 
 
 def test_ln_dense_large_mean_stream_stays_accurate():
-    """Centered two-pass stats: no cancellation blow-up on shifted streams."""
+    """Centered two-pass stats: no cancellation blow-up on shifted streams.
+
+    d=384 deliberately non-power-of-two: 1/d is not bf16-representable, so
+    this also pins that the reduction divides by d in fp32 (a bf16 1/d
+    matrix scales the stats by ≈1.002 and mis-centers shifted streams)."""
     rng = np.random.default_rng(1)
-    base = rng.normal(size=(32, 256)).astype(np.float32) + 30.0
+    d = 384
+    base = rng.normal(size=(32, d)).astype(np.float32) + 30.0
     x = jnp.asarray(base).astype(jnp.bfloat16)
-    scale = jnp.ones((256,), jnp.float32)
-    bias = jnp.zeros((256,), jnp.float32)
-    k = jnp.asarray((rng.normal(size=(256, 128)) * 0.05).astype(np.float32))
+    scale = jnp.ones((d,), jnp.float32)
+    bias = jnp.zeros((d,), jnp.float32)
+    k = jnp.asarray((rng.normal(size=(d, 128)) * 0.05).astype(np.float32))
 
     ref = np.asarray(_ref_ln_dense(x, scale, bias, k, None), np.float32)
     got = np.asarray(ln_dense(x, scale, bias, k, None), np.float32)
@@ -127,7 +132,12 @@ def test_param_tree_identical_fused_unfused(monkeypatch):
 
 def test_eot_before_ln_final_is_identity_refactor():
     """fp32 text tower must be unchanged by the gather-then-normalize
-    reorder (LayerNorm is per-token)."""
+    reorder (LayerNorm is per-token): rebuild the reference order — run the
+    transformer, LayerNorm ALL positions, then gather the EOT row — from
+    the same parameters and compare."""
+    from vtc_tpu.models.clip_model import CLIP_VARIANTS
+    from vtc_tpu.models.layers import Transformer, causal_mask
+
     module, variables = create_model(
         "PretrainedCLIP", model_type="test-tiny", seed=0
     )
@@ -136,15 +146,32 @@ def test_eot_before_ln_final_is_identity_refactor():
     toks[:, 0] = 49406
     toks[:, 1:5] = rng.integers(1, 49405, (3, 4))
     toks[:, 5] = 49407
-    out = module.apply(
-        variables, jnp.asarray(toks),
-        method=lambda mdl, t: mdl.clip.encode_text(t),
-    )
-    # reference computation: full LN then gather
-    from vtc_tpu.models.clip_model import CLIP_VARIANTS
+    toks_j = jnp.asarray(toks)
 
-    assert np.all(np.isfinite(np.asarray(out)))
-    assert out.shape == (3, CLIP_VARIANTS["test-tiny"].embed_dim)
+    out = module.apply(
+        variables, toks_j, method=lambda mdl, t: mdl.clip.encode_text(t)
+    )
+
+    # reference order: embed -> transformer -> LN over every position ->
+    # gather EOT -> project, straight from the stored parameters
+    v = CLIP_VARIANTS["test-tiny"]
+    p = variables["params"]["clip"]["text"]
+    x = jnp.take(jnp.asarray(p["token_embedding"]), toks_j, axis=0)
+    x = x + p["positional_embedding"][: toks.shape[-1]]
+    x = Transformer(v.text_width, v.text_layers, v.text_heads).apply(
+        {"params": p["transformer"]}, x, causal_mask(toks.shape[-1])
+    )
+    scale, bias = p["ln_final"]["scale"], p["ln_final"]["bias"]
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    x = (x - mean) * jax.lax.rsqrt(var + 1e-5) * scale + bias
+    eot = jnp.argmax(toks_j, axis=-1)
+    x = jnp.take_along_axis(x, eot[:, None, None], axis=1)[:, 0]
+    ref = x @ p["text_projection"]
+
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=2e-5
+    )
 
 
 def test_pallas_layernorm_kernel_interpret_matches_xla():

@@ -107,10 +107,13 @@ def ln_dense(x, ln_scale, ln_bias, kernel, dense_bias, eps: float = 1e-5):
     d = x.shape[-1]
     dt = x.dtype
 
-    ones = jnp.full((d, 128), 1.0 / d, dt)
+    # ones (not 1/d): 1/d is not bf16-representable at d=768/3072, which
+    # would scale the stats by bf16(1/d)·d ≈ 1.002 — divide in fp32 instead
+    ones = jnp.ones((d, 128), dt)
+    inv_d = jnp.float32(1.0 / d)
     m = jnp.einsum(
         "...d,dk->...k", x, ones, preferred_element_type=jnp.float32
-    )[..., :1]
+    )[..., :1] * inv_d
     mb = m.astype(dt)
     # x - mb is exact for nearby values (Sterbenz); mb carries up to half an
     # activation-dtype ulp of the true mean — fold that fp32 residual into
@@ -119,7 +122,7 @@ def ln_dense(x, ln_scale, ln_bias, kernel, dense_bias, eps: float = 1e-5):
     xc = x - mb
     s2 = jnp.einsum(
         "...d,dk->...k", xc * xc, ones, preferred_element_type=jnp.float32
-    )[..., :1]
+    )[..., :1] * inv_d
     var = s2 - r * r
     rstd = jax.lax.rsqrt(var + eps)
 

@@ -74,6 +74,8 @@ def layernorm(x, scale, bias, eps: float = 1e-5):
 
 def _forward(x, scale, bias, eps):
     d = x.shape[-1]
+    if not (supported(d) and use_pallas()):
+        return _xla_layernorm(x, scale, bias, eps)
     rows = 1
     for s in x.shape[:-1]:
         rows *= s
