@@ -99,6 +99,9 @@ class ClipTokenizer:
     def __init__(self, bpe_path: str | None = None):
         self.byte_encoder = bytes_to_unicode()
         self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
+        # per-text memo (see encode); ~260k entries ≈ tens of MB, bounded
+        self._encode_cache: dict = {}
+        self._encode_cache_max = 1 << 18
 
         bpe_path = bpe_path or _find_vocab_file()
         base = list(bytes_to_unicode().values())
@@ -180,13 +183,24 @@ class ClipTokenizer:
         return out
 
     def encode(self, text: str) -> List[int]:
+        """Memoized: tokenization is a pure function of the string, and the
+        training loop re-tokenizes the same titles/comments every epoch
+        (reference behavior, ``dataset_loaders.py:224-248``, which pays the
+        BPE cost per __getitem__). The bounded cache turns steady-state
+        tokenization into a dict lookup (~150 µs -> ~1 µs per text) without
+        changing a single output id."""
+        cached = self._encode_cache.get(text)
+        if cached is not None:
+            return list(cached)
         bpe_tokens: List[int] = []
-        text = _whitespace_clean(_basic_clean(text)).lower()
-        for token in re.findall(self.pat, text):
+        cleaned = _whitespace_clean(_basic_clean(text)).lower()
+        for token in re.findall(self.pat, cleaned):
             token = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
             bpe_tokens.extend(
                 self.encoder[t] for t in self.bpe(token).split(" ")
             )
+        if len(self._encode_cache) < self._encode_cache_max:
+            self._encode_cache[text] = tuple(bpe_tokens)
         return bpe_tokens
 
     def decode(self, tokens: Sequence[int]) -> str:
