@@ -332,3 +332,36 @@ def test_grain_loader_matches_interface(tmp_path):
     assert np.asarray(vis).shape == (8, 3, 224, 224)
     assert np.asarray(title).shape == (8, 77)
     assert np.asarray(comments).shape == (8, 2, 77)
+
+
+def test_threaded_loader_producer_exits_when_iteration_abandoned():
+    """Abandoning a threaded DataLoader mid-epoch (early break / exception
+    in the training loop) must release the producer thread even while it is
+    blocked in the bounded queue — a put() that ignores the stop event
+    would leak num_workers+1 threads per abandoned epoch."""
+    import threading
+    import time as _time
+
+    from vtc_tpu.data.loader import DataLoader as _DL
+
+    class _DS:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            return np.full((4,), i, np.float32)
+
+    loader = _DL(_DS(), batch_size=4, shuffle=False, num_workers=2)
+    baseline = threading.active_count()
+    it = iter(loader)
+    next(it)  # producer running; prefetch queue fills and put() blocks
+    _time.sleep(0.3)
+    it.close()  # abandon mid-epoch -> finally sets the stop event
+    deadline = _time.time() + 5.0
+    while _time.time() < deadline:
+        if threading.active_count() <= baseline:
+            break
+        _time.sleep(0.05)
+    assert threading.active_count() <= baseline, (
+        threading.active_count(), baseline
+    )

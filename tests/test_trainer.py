@@ -565,6 +565,20 @@ def test_trainer_resume_roundtrip(tmp_path):
         np.asarray(t2.state.params["cam"]["mask_embedding"]),
         np.asarray(t1.state.params["cam"]["mask_embedding"]),
     )
+    # the optimizer moments actually came back (Orbax returns lists/dicts,
+    # so this is restored by flattened-leaf-order graft — a structural
+    # tree_map silently fails and would restart Adam from zeros)
+    l1 = jax.tree_util.tree_leaves(t1.state.opt_state)
+    l2 = jax.tree_util.tree_leaves(t2.state.opt_state)
+    assert len(l1) == len(l2) and len(l1) > 0
+    moment_norms = 0.0
+    for a, b in zip(l1, l2):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(b, a, atol=1e-6)
+        if a.ndim > 0:
+            moment_norms += float(np.abs(a).sum())
+    assert moment_norms > 0.0  # trained moments are nonzero, so a zeroed
+    # fresh state could not have passed the equality above
 
 
 def test_trainer_iteration_based_mode(tmp_path):

@@ -112,6 +112,18 @@ class DataLoader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_or_stop(item) -> bool:
+            """put that keeps polling the stop event — a producer blocked
+            forever in out_q.put when the consumer abandons the iterator
+            mid-epoch would leak the thread pool and its buffered batches."""
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
                 def load_batch(b):
@@ -122,11 +134,12 @@ class DataLoader:
                     for b in batches:
                         if stop.is_set():
                             return
-                        out_q.put(load_batch(b))
+                        if not put_or_stop(load_batch(b)):
+                            return
                 except Exception as e:  # surface worker errors to the consumer
-                    out_q.put(e)
+                    put_or_stop(e)
                 finally:
-                    out_q.put(None)
+                    put_or_stop(None)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
@@ -208,6 +221,10 @@ class GrainDataLoader:
 
     def __len__(self) -> int:
         n = len(self.dataset)
+        shards = getattr(self._shard, "shard_count", 1) or 1
+        n = n // shards  # per-process batches (matches what __iter__ yields
+        # under ShardOptions; an unsharded count would inflate len_epoch and
+        # the StepLR steps_per_epoch by process_count)
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size

@@ -49,9 +49,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not SO.exists() or SO.stat().st_mtime < SRC.stat().st_mtime:
-            if not SRC.exists() or not _build():
-                return None
+        # a prebuilt .so without the .cpp source is usable as-is (deployed
+        # artifact); only rebuild when the source exists and is newer
+        stale = SRC.exists() and (
+            not SO.exists() or SO.stat().st_mtime < SRC.stat().st_mtime
+        )
+        if stale and not _build():
+            return None
+        if not SO.exists():
+            return None
         lib = ctypes.CDLL(str(SO))
         u8p = ctypes.POINTER(ctypes.c_uint8)
         f32p = ctypes.POINTER(ctypes.c_float)

@@ -243,16 +243,9 @@ def retrieval_evaluation(
         video_embs.append(np.asarray(fv)[:nchunk])
         caption_embs.append(np.asarray(ft)[:ncap])
 
-    # mean over chunk embeddings per video; pad ragged caption sets with -inf
+    # mean over chunk embeddings per video
     max_len = max(c.shape[0] for c in caption_embs)
-    padded_captions = [
-        np.concatenate(
-            [c, np.full((max_len - c.shape[0], c.shape[1]), -np.inf, np.float32)]
-        )
-        for c in caption_embs
-    ]
     video_tensor = np.stack([v.mean(axis=0) for v in video_embs])
-    caption_tensor = np.stack(padded_captions)
 
     # for recall, use the first (real) caption per video when ragged; the
     # reference feeds the full padded tensor to FAISS which only works for
@@ -268,7 +261,7 @@ def retrieval_evaluation(
 
     if max_len == 1:
         outdf = compute_recall(
-            video_tensor, caption_tensor[:, 0], split=split,
+            video_tensor, flat_caps, split=split,
             dataset_name=datasetname,
         )
     else:

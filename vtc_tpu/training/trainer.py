@@ -200,6 +200,8 @@ class Trainer:
         )
 
         self.data_loader = data_loader
+        self._persistent_batches = None
+        self._inf_mode = len_epoch is not None
         if len_epoch is None:
             self.len_epoch = len(data_loader)
         else:
@@ -276,7 +278,46 @@ class Trainer:
         if profile_dir and epoch == 1:
             jax.profiler.start_trace(profile_dir)
 
-        for batch_idx, (data, meta) in enumerate(self._batches(self.data_loader)):
+        # one dispatched step stays in flight: step N's loss is pulled to
+        # host only after step N+1 has been dispatched, so the device never
+        # idles on the host's float(loss) sync (on a tunneled backend a
+        # per-step sync costs ~0.6 s; on real hardware it still forfeits
+        # async dispatch). Metric values and cadence are unchanged — each
+        # batch is flushed individually, one step later.
+        pending = None  # (batch_idx, loss_dev, out, meta, batch_size, grid)
+
+        def _flush(entry):
+            nonlocal batch_tic, hz_list
+            b_idx, loss_dev, out, meta_f, bsz, grid = entry
+            loss = float(loss_dev)
+            self.writer.set_step((epoch - 1) * self.len_epoch + b_idx)
+            self.train_metrics.update(loss, out, meta_f)
+            toc = time.time() - batch_tic
+            hz = bsz / toc
+            hz_list = (hz_list + [hz])[-1000:]
+            batch_tic = time.time()
+            if b_idx % self.log_step == 0:
+                _wandb_log({"loss": loss})
+                self.logger.debug(
+                    "Train Epoch: %d [%d/%d] Loss: %.6f Speed: %.2fHz (av %.2fHz)",
+                    epoch, b_idx, self.len_epoch, loss,
+                    hz, float(np.mean(hz_list[-500:])),
+                )
+                if grid is not None:
+                    self.writer.add_image("input", make_grid(grid, nrow=8))
+
+        # In len_epoch (inf_loop) mode the prefetch chain must persist
+        # across epochs: rebuilding it each epoch abandons its 2-3 buffered
+        # batches of the shared infinite stream at every boundary (samples
+        # silently never trained on).
+        if self._inf_mode:
+            if self._persistent_batches is None:
+                self._persistent_batches = self._batches(self.data_loader)
+            batch_iter = self._persistent_batches
+        else:
+            batch_iter = self._batches(self.data_loader)
+
+        for batch_idx, (data, meta) in enumerate(batch_iter):
             batch_size = data[0].shape[0]
             step_rng = jax.random.fold_in(
                 self.base_rng, (epoch - 1) * self.len_epoch + batch_idx
@@ -284,33 +325,21 @@ class Trainer:
             self.state, loss, out = self.train_step(
                 self.state, data, meta, step_rng
             )
-            loss = float(loss)
-
-            self.writer.set_step((epoch - 1) * self.len_epoch + batch_idx)
-            self.train_metrics.update(loss, out, meta)
-
-            toc = time.time() - batch_tic
-            hz = batch_size / toc
-            hz_list = (hz_list + [hz])[-1000:]
-            batch_tic = time.time()
-
+            grid = None
             if batch_idx % self.log_step == 0:
-                _wandb_log({"loss": loss})
-                self.logger.debug(
-                    "Train Epoch: %d [%d/%d] Loss: %.6f Speed: %.2fHz (av %.2fHz)",
-                    epoch, batch_idx, self.len_epoch, loss,
-                    hz, float(np.mean(hz_list[-500:])),
-                )
                 from ..utils import is_image_like_batch
 
                 if self.writer.writer is not None and is_image_like_batch(
                     data[0]
                 ):
-                    self.writer.add_image(
-                        "input", make_grid(np.asarray(data[0]), nrow=8)
-                    )
+                    grid = np.asarray(data[0])
+            if pending is not None:
+                _flush(pending)
+            pending = (batch_idx, loss, out, meta, batch_size, grid)
             if batch_idx == self.len_epoch:
                 break
+        if pending is not None:
+            _flush(pending)
 
         if profile_dir and epoch == 1:
             jax.profiler.stop_trace()
@@ -356,9 +385,13 @@ class Trainer:
                 self.logger.warning("Skipping retrieval probe: %s", e)
                 self.probe_fn = None
 
-        # per-parameter histograms (trainer/trainer.py:185-186)
+        # per-parameter histograms (trainer/trainer.py:185-186). One
+        # device_get for the whole tree — per-leaf np.asarray would pay a
+        # host round-trip per parameter (minutes on a tunneled backend,
+        # CLAUDE.md "per-leaf host transfers")
         if self.writer.writer is not None:
-            flat = jax.tree_util.tree_leaves_with_path(self.state.params)
+            host_params = jax.device_get(self.state.params)
+            flat = jax.tree_util.tree_leaves_with_path(host_params)
             for path, p in flat:
                 name = "/".join(
                     str(getattr(k, "key", k)) for k in path
@@ -474,17 +507,34 @@ class Trainer:
         opt_state = self.state.opt_state
         restored_opt = ckpt.get("opt_state")
         if restored_opt is not None and not (missing or unexpected):
-            try:
-                opt_state = jax.tree_util.tree_map(
-                    lambda tgt, src: jnp.asarray(src, dtype=tgt.dtype)
-                    if hasattr(tgt, "dtype")
-                    else src,
-                    opt_state,
-                    restored_opt,
+            # Orbax restores optax's namedtuples/tuples as generic
+            # lists/dicts, so a structural tree_map against the live state
+            # never matches — graft by flattened leaf order instead (the
+            # serialization preserves traversal order), guarded by
+            # leaf-count and shape checks so a genuinely changed optimizer
+            # still falls back to fresh state with a warning.
+            live_leaves, treedef = jax.tree_util.tree_flatten(opt_state)
+            restored_leaves = jax.tree_util.tree_leaves(restored_opt)
+            shapes_ok = len(live_leaves) == len(restored_leaves) and all(
+                getattr(t, "shape", None) == np.asarray(s).shape
+                for t, s in zip(live_leaves, restored_leaves)
+                if hasattr(t, "shape")
+            )
+            if shapes_ok:
+                opt_state = jax.tree_util.tree_unflatten(
+                    treedef,
+                    [
+                        jnp.asarray(s, dtype=t.dtype)
+                        if hasattr(t, "dtype")
+                        else s
+                        for t, s in zip(live_leaves, restored_leaves)
+                    ],
                 )
-            except ValueError:
+            else:
                 self.logger.warning(
-                    "Optimizer state structure changed; not resuming it."
+                    "Optimizer state structure changed "
+                    "(%d vs %d leaves); not resuming it.",
+                    len(restored_leaves), len(live_leaves),
                 )
 
         self.state = self.state.replace(
@@ -502,8 +552,12 @@ class Trainer:
 
 
 def make_grid(images: "np.ndarray", nrow: int = 8, normalize: bool = True):
-    """Tile a [b, 3, h, w] batch into one [3, H, W] image for TensorBoard
-    (the torchvision.utils.make_grid usage at ``trainer/trainer.py:103-106``)."""
+    """Tile a [b, 3, h, w] (or [b, h, w, 3] — the uint8 transfer path ships
+    HWC) batch into one [3, H, W] image for TensorBoard (the
+    torchvision.utils.make_grid usage at ``trainer/trainer.py:103-106``)."""
+    if images.shape[-1] == 3 and images.shape[1] != 3:
+        images = np.transpose(images, (0, 3, 1, 2))
+    images = images.astype(np.float32)
     b, c, h, w = images.shape
     ncol = min(nrow, b)
     nrows = (b + ncol - 1) // ncol
