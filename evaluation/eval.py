@@ -109,7 +109,7 @@ def main(config: ConfigParser, args, checkpoint_path):
     def fwd(*data):
         return _fwd(variables, *data)
 
-    from vtc_tpu.data.tokenizer import truncate_to_eot_bucket
+    from vtc_tpu.data.tokenizer import truncate_batch_tokens
 
     res_vis, res_text, ids = [], [], []
     for items in data_loader:
@@ -121,13 +121,11 @@ def main(config: ConfigParser, args, checkpoint_path):
             )
             data[2] = add_irrelevant_comms(data[2], num_irrelevant_comments)
         # exactness-preserving text truncation (causal mask + EOT pooling:
-        # tokens after EOT never influence the embedding)
-        data = [
-            truncate_to_eot_bucket(d)
-            if d.dtype.kind == "i" and d.shape[-1] == 77
-            else d
-            for d in data
-        ]
+        # tokens after EOT never influence the embedding). One SHARED bucket
+        # across title+comments — per-array buckets usually differ, which
+        # forces the model's separate-passes fallback instead of the fused
+        # joint text-tower pass and multiplies the compiled variants.
+        data = truncate_batch_tokens(data)
         feats_vis, feats_text = fwd(*[jnp.asarray(d) for d in data])
         res_vis.append(np.asarray(feats_vis))
         res_text.append(np.asarray(feats_text))

@@ -240,3 +240,22 @@ def test_video_frame_mean(plain_clip):
     np.testing.assert_allclose(
         np.asarray(fv_vid), np.asarray(fv_img), atol=1e-5
     )
+
+
+def test_shared_comments_broadcast_matches_tiled(finaltf):
+    """A size-1 comment batch must produce EXACTLY the embeddings of the
+    same comments tiled per row (the transfer-eval dedup path: one encode
+    of the 5 shared comments, features broadcast across captions)."""
+    module, variables = finaltf
+    vis, title, comments = _inputs()
+    shared = comments[:1]  # [1, nc, ntoks]
+    tiled = jnp.broadcast_to(shared, comments.shape)
+
+    fv_t, ft_t, _ = module.apply(variables, vis, title, tiled)
+    fv_s, ft_s, _ = module.apply(variables, vis, title, shared)
+    np.testing.assert_allclose(
+        np.asarray(ft_s), np.asarray(ft_t), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(fv_s), np.asarray(fv_t), atol=1e-6
+    )

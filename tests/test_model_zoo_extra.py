@@ -100,3 +100,49 @@ def test_r2plus1d_reachable_from_factory_config():
     out = jax.jit(lambda v, x: module.apply(v, x))(variables, x)
     assert out.shape == (2, 512)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_torch_batchnorm_running_stats_match_torch():
+    """TorchBatchNorm updates running_var with the UNBIASED batch variance
+    like torch.nn.BatchNorm1d — flax's nn.BatchNorm uses the biased one,
+    which drifts eval-mode outputs of trained twins."""
+    import torch
+
+    from vtc_tpu.models.layers import TorchBatchNorm
+
+    rng = np.random.default_rng(0)
+    x1 = rng.normal(size=(16, 8)).astype(np.float32)
+    x2 = rng.normal(size=(16, 8)).astype(np.float32) * 2 + 1
+
+    tbn = torch.nn.BatchNorm1d(8, momentum=0.1)  # torch momentum = 1 - ours
+    tbn.train()
+    tbn(torch.from_numpy(x1))
+    tbn(torch.from_numpy(x2))
+
+    mod = TorchBatchNorm(use_running_average=False, momentum=0.9)
+    variables = mod.init(jax.random.PRNGKey(0), jnp.asarray(x1))
+    stats = variables["batch_stats"]
+    for x in (x1, x2):
+        _, upd = mod.apply(
+            {"params": variables["params"], "batch_stats": stats},
+            jnp.asarray(x), mutable=["batch_stats"],
+        )
+        stats = upd["batch_stats"]
+
+    np.testing.assert_allclose(
+        np.asarray(stats["mean"]), tbn.running_mean.numpy(), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(stats["var"]), tbn.running_var.numpy(), atol=1e-5
+    )
+
+    # eval-mode forward parity on the trained stats
+    tbn.eval()
+    ref = tbn(torch.from_numpy(x1)).detach().numpy()
+    got = np.asarray(
+        TorchBatchNorm(use_running_average=True).apply(
+            {"params": variables["params"], "batch_stats": stats},
+            jnp.asarray(x1),
+        )
+    )
+    np.testing.assert_allclose(got, ref, atol=1e-5)

@@ -17,6 +17,8 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
+from ..models.layers import TorchBatchNorm
+
 
 class BasicBlock(nn.Module):
     features: int
@@ -30,7 +32,7 @@ class BasicBlock(nn.Module):
             self.features, (3, 3), strides=(self.stride, self.stride),
             padding=1, use_bias=False, dtype=self.dtype, name="conv1",
         )(x)
-        y = nn.BatchNorm(
+        y = TorchBatchNorm(
             use_running_average=not train, momentum=0.9, dtype=self.dtype,
             name="bn1",
         )(y)
@@ -39,7 +41,7 @@ class BasicBlock(nn.Module):
             self.features, (3, 3), padding=1, use_bias=False,
             dtype=self.dtype, name="conv2",
         )(y)
-        y = nn.BatchNorm(
+        y = TorchBatchNorm(
             use_running_average=not train, momentum=0.9, dtype=self.dtype,
             name="bn2",
         )(y)
@@ -48,7 +50,7 @@ class BasicBlock(nn.Module):
                 self.features, (1, 1), strides=(self.stride, self.stride),
                 use_bias=False, dtype=self.dtype, name="downsample_conv",
             )(residual)
-            residual = nn.BatchNorm(
+            residual = TorchBatchNorm(
                 use_running_average=not train, momentum=0.9, dtype=self.dtype,
                 name="downsample_bn",
             )(residual)
@@ -67,7 +69,7 @@ class AudioResNet9(nn.Module):
             64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
             dtype=self.dtype, name="conv1",
         )(x)
-        x = nn.BatchNorm(
+        x = TorchBatchNorm(
             use_running_average=not train, momentum=0.9, dtype=self.dtype,
             name="bn1",
         )(x)

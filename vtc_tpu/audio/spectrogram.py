@@ -71,7 +71,10 @@ def load_audio_clip(
     try:
         container = av.open(path)
         stream = container.streams.audio[0]
-        container.seek(int(fr_sec * av.time_base), any_frame=False)
+        # container-level seek takes av.time_base (1/1e6 s) units: divide by
+        # the Fraction (multiplying truncated every offset to 0 and decoded
+        # all clips from the file start)
+        container.seek(int(fr_sec / av.time_base), any_frame=False)
         samples = []
         resampler = av.AudioResampler(format="s16", layout="mono", rate=sample_rate)
         for frame in container.decode(stream):

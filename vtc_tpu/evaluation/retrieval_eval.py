@@ -203,17 +203,16 @@ def retrieval_evaluation(
         nchunk = chunks.shape[0]
 
         if needs_comments:
-            branch = (
-                branch_override
-                if branch_override is not None
-                else getattr(module, "branch_to_adapt_val", "text")
-            )
-            ncomms_rows = nchunk if branch == "image" else ncap
+            # one shared comment row [1, 5, 77]: the model encodes the 5
+            # unique comments ONCE and broadcasts the features across
+            # captions/chunks (previously tiled to every row — up to
+            # dozens of duplicate text-tower encodes per video), and the
+            # comment operand shape is constant across videos (fewer jit
+            # variants)
             if comments is None:
-                comm = np.tile(empty_comment[None], (ncomms_rows, 1, 1))
+                comm = empty_comment[None]
             else:
-                comments = np.asarray(comments)[:N_COMMENTS]
-                comm = np.tile(comments[None], (ncomms_rows, 1, 1))
+                comm = np.asarray(comments)[:N_COMMENTS][None]
         else:
             comm = None
 
@@ -226,17 +225,11 @@ def retrieval_evaluation(
         captions_p = np.concatenate(
             [captions, np.repeat(captions[-1:], kb - ncap, axis=0)]
         ) if kb > ncap else captions
-        if comm is not None:
-            rows = cb if (needs_comments and ncomms_rows == nchunk) else kb
-            if comm.shape[0] < rows:
-                comm = np.concatenate(
-                    [comm, np.repeat(comm[-1:], rows - comm.shape[0], axis=0)]
-                )
 
         fv, ft = fwd(
             jnp.asarray(chunks_p), jnp.asarray(captions_p),
             jnp.asarray(comm) if comm is not None else jnp.zeros(
-                (captions_p.shape[0], N_COMMENTS, 77), jnp.int32
+                (1, N_COMMENTS, 77), jnp.int32
             ),
             needs_comments=needs_comments,
         )

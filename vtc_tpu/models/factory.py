@@ -88,7 +88,21 @@ def load_openai_state_dict(path: str):
         return model.state_dict()
     except Exception:
         obj = load_torch_file(path)
-        return obj.get("state_dict", obj) if isinstance(obj, dict) else obj
+        sd = obj.get("state_dict", obj) if isinstance(obj, dict) else obj
+        # reference retrieval checkpoints wrap the CLIP tower under
+        # "model." (model/model.py:432-437); unwrap so the openai importer
+        # sees bare keys
+        if isinstance(sd, dict) and not any(
+            k.startswith("visual.") for k in sd
+        ):
+            prefixed = {
+                k[len("model."):]: v
+                for k, v in sd.items()
+                if k.startswith("model.")
+            }
+            if any(k.startswith("visual.") for k in prefixed):
+                sd = prefixed
+        return sd
 
 
 def create_model(

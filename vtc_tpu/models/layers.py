@@ -372,6 +372,46 @@ class ResidualAttentionBlock(nn.Module):
         return x
 
 
+class TorchBatchNorm(nn.Module):
+    """BatchNorm with torch's running-stat semantics: the running variance
+    is updated with the UNBIASED batch variance (n/(n-1)), while
+    normalization uses the biased one — flax's ``nn.BatchNorm`` uses the
+    biased variance for both, a train-path drift vs torch twins (the CAM's
+    hand-rolled ``bn`` residual activation applies the same correction).
+    Parameter/stat tree names match ``nn.BatchNorm`` (``scale``/``bias`` in
+    params, ``mean``/``var`` in batch_stats) so checkpoints are unaffected.
+    Normalizes over the last axis; leading axes are batch."""
+
+    use_running_average: bool = True
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        use_running_average = self.use_running_average
+        d = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (d,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (d,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean", jnp.zeros, (d,))
+        ra_var = self.variable("batch_stats", "var", jnp.ones, (d,))
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            x32 = x.astype(jnp.float32).reshape(-1, d)
+            mean = jnp.mean(x32, axis=0)
+            var = jnp.var(x32, axis=0)
+            if not self.is_initializing():
+                n = x32.shape[0]
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * unbiased
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * scale + bias).astype(self.dtype)
+
+
 def use_remat() -> bool:
     """Rematerialize transformer blocks in backward (``VTC_REMAT=1``): trades
     recompute FLOPs for activation HBM — the standard lever for large-batch
@@ -402,8 +442,9 @@ class Transformer(nn.Module):
         return x
 
 
-def causal_mask(length: int, dtype=jnp.float32) -> jax.Array:
-    """Additive causal mask (upper-triangular -inf), fp32."""
+def causal_mask(length: int) -> jax.Array:
+    """Additive causal mask (upper-triangular -inf), fp32 (added to fp32
+    logits before any bf16 cast)."""
     mask = jnp.full((length, length), -jnp.inf, dtype=jnp.float32)
     mask = jnp.triu(mask, k=1)
     return mask

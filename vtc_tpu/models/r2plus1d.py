@@ -19,6 +19,8 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
+from .layers import TorchBatchNorm
+
 
 def _midplanes(cin: int, cout: int) -> int:
     # torchvision Conv2Plus1D: keep ~the 3x3x3 parameter budget
@@ -39,7 +41,7 @@ class Conv2Plus1D(nn.Module):
             mid, (1, 3, 3), strides=(1, sh, sw), padding=(0, 1, 1),
             use_bias=False, dtype=self.dtype, name="conv_s",
         )(x)
-        x = nn.BatchNorm(
+        x = TorchBatchNorm(
             use_running_average=not train, momentum=0.9, dtype=self.dtype,
             name="bn_s",
         )(x)
@@ -62,13 +64,13 @@ class R2Plus1dBlock(nn.Module):
         y = Conv2Plus1D(self.cout, self.stride, dtype=self.dtype, name="conv1")(
             x, train
         )
-        y = nn.BatchNorm(
+        y = TorchBatchNorm(
             use_running_average=not train, momentum=0.9, dtype=self.dtype,
             name="bn1",
         )(y)
         y = nn.relu(y)
         y = Conv2Plus1D(self.cout, dtype=self.dtype, name="conv2")(y, train)
-        y = nn.BatchNorm(
+        y = TorchBatchNorm(
             use_running_average=not train, momentum=0.9, dtype=self.dtype,
             name="bn2",
         )(y)
@@ -77,7 +79,7 @@ class R2Plus1dBlock(nn.Module):
                 self.cout, (1, 1, 1), strides=self.stride, use_bias=False,
                 dtype=self.dtype, name="downsample_conv",
             )(x)
-            identity = nn.BatchNorm(
+            identity = TorchBatchNorm(
                 use_running_average=not train, momentum=0.9, dtype=self.dtype,
                 name="downsample_bn",
             )(identity)
@@ -104,7 +106,7 @@ class R2Plus1D_34_IG65M_32frames(nn.Module):
             45, (1, 7, 7), strides=(1, 2, 2), padding=(0, 3, 3),
             use_bias=False, dtype=self.dtype, name="stem_conv_s",
         )(x)
-        x = nn.BatchNorm(
+        x = TorchBatchNorm(
             use_running_average=not train, momentum=0.9, dtype=self.dtype,
             name="stem_bn_s",
         )(x)
@@ -113,7 +115,7 @@ class R2Plus1D_34_IG65M_32frames(nn.Module):
             64, (3, 1, 1), padding=(1, 0, 0), use_bias=False,
             dtype=self.dtype, name="stem_conv_t",
         )(x)
-        x = nn.BatchNorm(
+        x = TorchBatchNorm(
             use_running_average=not train, momentum=0.9, dtype=self.dtype,
             name="stem_bn_t",
         )(x)

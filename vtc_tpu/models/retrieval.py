@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from .cam import ContextAdapter
 from .clip_model import CLIP_VARIANTS, ClipModel
-from .layers import l2_normalize
+from .layers import TorchBatchNorm, l2_normalize
 from .timesformer import TimeSformer
 
 
@@ -46,7 +46,7 @@ class MLP(nn.Module):
         x = x.reshape(x.shape[0], -1)
         x = nn.Dropout(self.p, deterministic=not train)(x)
         x = nn.Dense(self.num_features, dtype=self.dtype, name="fc1")(x)
-        x = nn.BatchNorm(
+        x = TorchBatchNorm(
             use_running_average=not train, momentum=0.9, dtype=self.dtype, name="bn"
         )(x)
         x = nn.relu(x)
@@ -63,7 +63,7 @@ class _EmbeddingBranch(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Dense(self.num_features, dtype=self.dtype, name="fc1")(x)
-        x = nn.BatchNorm(
+        x = TorchBatchNorm(
             use_running_average=not train, momentum=0.9, dtype=self.dtype, name="bn"
         )(x)
         x = nn.relu(x)
@@ -278,14 +278,27 @@ class _CamRetrievalBase(_ClipRetrievalBase):
                 else self.branch_to_adapt_val
             )
 
+        # shared comments: a size-1 comment batch broadcasts across the
+        # adapted branch (the transfer-eval case — every caption/chunk of a
+        # video shares its 5 comments; encoding them once instead of
+        # per-row removes the dominant duplicated text-tower work there)
+        def _bcast(fc, target_b):
+            if fc.shape[1] == 1 and target_b != 1:
+                return jnp.broadcast_to(
+                    fc, (fc.shape[0], target_b, fc.shape[2])
+                )
+            return fc
+
         if branch == "text":
             feats_vis_out = feats_vis
             feats_text_out = self.cam.adapt(
-                feats_title, feats_comm, train, self.finaltf_frozen
+                feats_title, _bcast(feats_comm, feats_title.shape[0]),
+                train, self.finaltf_frozen,
             )
         elif branch == "image":
             feats_vis_out = self.cam.adapt(
-                feats_vis, feats_comm, train, self.finaltf_frozen
+                feats_vis, _bcast(feats_comm, feats_vis.shape[0]),
+                train, self.finaltf_frozen,
             )
             feats_text_out = feats_title
         elif branch == "skip":
