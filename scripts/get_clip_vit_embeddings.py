@@ -28,7 +28,8 @@ def main():
     ap.add_argument("--model_type", default="ViT-B/32")
     ap.add_argument("--image_size", type=int, default=224)
     ap.add_argument("--clip_weights", default=None)
-    ap.add_argument("--bf16", action="store_true", default=True)
+    ap.add_argument("--fp32", action="store_true",
+                    help="encode in float32 (default: bfloat16)")
     args = ap.parse_args()
 
     import jax
@@ -48,7 +49,7 @@ def main():
         "PretrainedCLIP",
         model_type=args.model_type,
         clip_weights=args.clip_weights,
-        dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        dtype=jnp.bfloat16 if (not args.fp32) else jnp.float32,
     )
 
     mesh = create_mesh() if len(jax.devices()) > 1 else None

@@ -183,6 +183,10 @@ def stage_zero_shot(
     from vtc_tpu.models import create_model
     from vtc_tpu.ops.retrieval import recall_at_k
 
+    if weights_path is not None and os.path.isdir(weights_path):
+        # HF directories go through the HF importer (torch.load on a
+        # directory raises); graft after a weight-less construction
+        weights_path = None
     module, variables = create_model(
         "PretrainedCLIP", model_type="ViT-B/32", clip_weights=weights_path
     )
@@ -205,8 +209,12 @@ def stage_zero_shot(
     vis_all = np.concatenate(vis_all)
     txt_all = np.concatenate(txt_all)
 
-    tvr = dict(recall_at_k(txt_all, vis_all, [1, 10]))  # text -> video
-    vtr = dict(recall_at_k(vis_all, txt_all, [1, 10]))
+    # recall_at_k(gallery, queries): text->video ranks the VIDEO gallery
+    # for each text query (see ops/retrieval.py docstring; the earlier
+    # argument order silently reported V2T as TVR — a 0.7-pt mislabel vs a
+    # 0.3-pt tolerance at the Table-6a targets)
+    tvr = dict(recall_at_k(vis_all, txt_all, [1, 10]))  # text -> video
+    vtr = dict(recall_at_k(txt_all, vis_all, [1, 10]))  # video -> text
     result = {
         "n": len(vis_all),
         "tvr_r1": tvr[1] * 100, "tvr_r10": tvr[10] * 100,
@@ -254,7 +262,13 @@ def main() -> int:
 
     csv_file = os.environ.get("VTC_DATA_CSV")
     root = os.environ.get("VTC_DATA_ROOT")
-    if csv_file and root and os.path.exists(csv_file):
+    if csv_file and root and os.path.exists(csv_file) and not (
+        weights and os.path.exists(weights)
+    ):
+        print("[zero_shot] SKIPPED — data present but VTC_CLIP_WEIGHTS "
+              "missing (a random-weight run would report a misleading "
+              "failure)")
+    elif csv_file and root and os.path.exists(csv_file):
         ran.append("zero_shot")
         res = stage_zero_shot(csv_file, root, weights_path=weights)
         print(f"[zero_shot] n={res['n']} TVR R@1={res['tvr_r1']:.1f} "

@@ -117,7 +117,7 @@ class ConfigParser:
         modification = {}
         for opt in options:
             long_flags = [f for f in opt.flags if f.startswith("--")]
-            dest = (long_flags[0] if long_flags else opt.flags[0]).lstrip("-")
+            dest = (long_flags[0] if long_flags else opt.flags[0]).lstrip("-").replace("-", "_")
             modification[opt.target] = parsed_vars[dest]
         return cls(config, resume, modification)
 

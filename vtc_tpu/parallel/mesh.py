@@ -97,9 +97,9 @@ def replicated(mesh: Mesh):
 
 def shard_batch(batch, mesh: Mesh):
     """device_put a host batch with the leading axis over the data axis.
-    Pads the batch to a multiple of the data-axis size if needed (padding is
-    the caller's responsibility to mask; training uses drop_last so sizes
-    always divide)."""
+    The leading axis must divide by the data-axis size — training uses
+    drop_last so sizes always divide; eval callers pad first (e.g.
+    scripts/get_clip_vit_embeddings.py)."""
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, NamedSharding(mesh, P(DATA_AXIS)))
         if hasattr(x, "shape") and x.ndim >= 1

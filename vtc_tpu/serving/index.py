@@ -49,16 +49,24 @@ class RetrievalIndex:
         self._gallery_ids = None
 
     def __len__(self):
-        self._materialize()
-        return 0 if self._gallery is None else int(self._gallery.shape[0])
+        # length never forces a device materialization
+        if self._gallery is not None:
+            return int(self._gallery.shape[0])
+        return int(sum(c.shape[0] for c in self._chunks))
 
     def add(self, embeddings, ids) -> None:
+        if self._gallery is not None:
+            # re-open a materialized index: fold the device gallery back
+            # into the staging chunks (the host copies were released)
+            self._chunks = [np.asarray(self._gallery, np.float32)]
+            self._ids = [np.asarray(self._gallery_ids)]
+            self._gallery = None
+            self._gallery_ids = None
         embeddings = np.asarray(embeddings, np.float32)
         assert embeddings.shape[-1] == self.embed_dim
         norms = np.linalg.norm(embeddings, axis=-1, keepdims=True)
         self._chunks.append(embeddings / np.maximum(norms, 1e-12))
         self._ids.append(np.asarray(ids, np.int64))
-        self._gallery = None  # invalidate
 
     def _materialize(self):
         if self._gallery is not None or not self._chunks:
@@ -68,11 +76,18 @@ class RetrievalIndex:
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            from ..parallel.mesh import DATA_AXIS
+
+            # gallery rows sharded over the data axis (per-chip HBM holds
+            # 1/n of the index; top-k over the sharded axis via GSPMD)
             self._gallery = jax.device_put(
-                gallery, NamedSharding(self.mesh, P())
+                gallery, NamedSharding(self.mesh, P(DATA_AXIS, None))
             )
         else:
             self._gallery = jnp.asarray(gallery)
+        # release the host-side staging copies (was a 2x footprint)
+        self._chunks = []
+        self._ids = []
 
     def search(self, query_embeddings, k: int = 10):
         """-> (ids [nq, k], scores [nq, k])."""
@@ -86,6 +101,8 @@ class RetrievalIndex:
 
     def save(self, path) -> None:
         self._materialize()
+        if self._gallery is None:
+            raise ValueError("cannot save an empty RetrievalIndex")
         np.savez(
             path,
             embeddings=np.asarray(self._gallery),
