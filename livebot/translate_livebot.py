@@ -41,17 +41,22 @@ def is_spam(comment: str) -> bool:
 
 
 def select_comments(danmaku, max_comments: int = 5):
-    """Filter spam, dedup by timestamp, keep the first ``max_comments``."""
-    seen_times = set()
+    """Reference selection (``translate_livebot.py:61-81``): skip "哈哈"
+    spam, skip a comment whose timestamp equals the PREVIOUSLY KEPT
+    comment's (not a global dedup — a timestamp may repeat later), keep the
+    first ``max_comments``."""
+    prev_time = -1
     out = []
-    for entry in danmaku:
+    for i, entry in enumerate(danmaku):
         if isinstance(entry, dict):
-            ts, text = entry.get("time", len(seen_times)), entry.get("danmu", "")
+            ts, text = entry.get("time", i), entry.get("danmu", "")
         else:
             ts, text = entry
-        if ts in seen_times or is_spam(text) or not text.strip():
+        if is_spam(text):
             continue
-        seen_times.add(ts)
+        if ts == prev_time:
+            continue
+        prev_time = ts
         out.append(text)
         if len(out) >= max_comments:
             break
@@ -88,8 +93,8 @@ def main():
         if entry is None:
             continue
         comments = select_comments(entry.get("danmaku", entry.get("comments", [])))
-        if not comments:
-            continue
+        # the reference keeps zero-comment videos in the CSV (their comment
+        # columns are empty); dropping them would shrink the test set
         video_path = os.path.join(args.video_dir, f"{vid_id}.mp4")
         rows.append(
             {

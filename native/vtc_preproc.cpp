@@ -162,15 +162,16 @@ struct ClipStats {
 // normalize, emit float32 CHW.
 void preprocess_one(const uint8_t* in, int h, int w, float* out, int size,
                     const ClipStats& st, const Filter& f) {
+  // long side truncates (torchvision functional_pil.resize uses
+  // oh = int(size * h / w)); lround would shift the resample grid by 1px
+  // on ~half of all aspect ratios vs the reference CLIP_TRANSFORM
   int rw, rh;
   if (w <= h) {
     rw = size;
-    rh = std::max(1, static_cast<int>(std::lround(
-                         static_cast<double>(h) * size / w)));
+    rh = std::max(1, static_cast<int>(static_cast<double>(h) * size / w));
   } else {
     rh = size;
-    rw = std::max(1, static_cast<int>(std::lround(
-                         static_cast<double>(w) * size / h)));
+    rw = std::max(1, static_cast<int>(static_cast<double>(w) * size / h));
   }
   std::vector<uint8_t> resized(static_cast<size_t>(rh) * rw * 3);
   resample_rgb_u8(in, h, w, resized.data(), rh, rw, f);

@@ -92,7 +92,7 @@ def clip_preprocess_frames_fast(
     t, h, w, c = frames.shape
     assert c == 3
     out = np.empty((t, 3, size, size), np.float32)
-    nthreads = num_threads or min(t, os.cpu_count() or 1)
+    nthreads = num_threads or min(t, len(os.sched_getaffinity(0)) or 1)
     lib.vtc_clip_preprocess_batch(
         frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         t, h, w,
@@ -121,7 +121,7 @@ def resize_batch_fast(
             ]
         )
     out = np.empty((t, out_h, out_w, 3), np.uint8)
-    nthreads = num_threads or min(t, os.cpu_count() or 1)
+    nthreads = num_threads or min(t, len(os.sched_getaffinity(0)) or 1)
     lib.vtc_resize_batch(
         frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         t, h, w,

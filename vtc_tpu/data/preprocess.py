@@ -25,11 +25,15 @@ IG65M_STD = np.array([0.22803, 0.22145, 0.216989], dtype=np.float32)
 
 
 def _resize_short_side(img: Image.Image, size: int) -> Image.Image:
+    # torchvision's Resize computes the long side with int() truncation
+    # (functional_pil.resize: oh = int(size * h / w)); rounding instead
+    # shifts the resample grid by 1px on ~half of all aspect ratios and
+    # changes every pixel of the crop vs the reference CLIP_TRANSFORM
     w, h = img.size
     if w <= h:
-        new_w, new_h = size, max(1, round(h * size / w))
+        new_w, new_h = size, max(1, int(h * size / w))
     else:
-        new_w, new_h = max(1, round(w * size / h)), size
+        new_w, new_h = max(1, int(w * size / h)), size
     return img.resize((new_w, new_h), Image.BICUBIC)
 
 

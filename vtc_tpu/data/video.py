@@ -72,6 +72,11 @@ def read_video_segment(
         if start_sec > 0:
             cap.set(cv2.CAP_PROP_POS_MSEC, start_sec * 1000.0)
         frames = []
+        # deferring resize/convert to the selected frames only pays when
+        # buffering RAW frames is cheap; for high-res sources (>~720p) a
+        # 256-frame raw buffer reaches GBs, so process as we go instead —
+        # per-frame processing commutes with frame selection (same pixels)
+        defer = subsample_to is not None
         while True:
             if end_sec is not None:
                 pos = cap.get(cv2.CAP_PROP_POS_MSEC)
@@ -80,7 +85,9 @@ def read_video_segment(
                 break
             if end_sec is not None and pos > end_sec * 1000.0:
                 break
-            frames.append(frame if subsample_to is not None else _process(frame))
+            if defer and not frames and frame.shape[0] * frame.shape[1] > 1_000_000:
+                defer = False
+            frames.append(frame if defer else _process(frame))
             if max_frames is not None and len(frames) >= max_frames:
                 break
         if not frames:
@@ -89,7 +96,9 @@ def read_video_segment(
             idxs = np.floor(
                 np.linspace(0, len(frames) - 1, subsample_to)
             ).astype(np.int64)
-            return np.stack([_process(frames[i]) for i in idxs])
+            return np.stack(
+                [_process(frames[i]) if defer else frames[i] for i in idxs]
+            )
         return np.stack(frames)
     finally:
         cap.release()

@@ -50,12 +50,13 @@ def _read_video_train(video_path, rng: Optional[np.random.Generator] = None):
 
     vid = read_video_segment(
         video_path, segment_start, segment_start + segment_duration,
-        resize_width=300, resize_height=0,
+        resize_width=300, resize_height=0, subsample_to=nframes,
     )
     if vid.shape[0] == 0:
         print("Video read failed", video_path)
-        vid = np.zeros((8, 300, 300, 3), np.uint8)
-    vid = linspace_subsample(vid, nframes)
+        vid = np.zeros((nframes, 300, 300, 3), np.uint8)
+    if vid.shape[0] != nframes:
+        vid = linspace_subsample(vid, nframes)
     return augment_frames(vid, rng)
 
 
@@ -131,12 +132,18 @@ class VideoDatasetMSRVTT:
         vid_id = video_path.split("/")[-1][:-4]
 
         if self.augment:
-            vid = _read_video_train(video_path, self.rng)
+            # augmented train path: the reference applies CLIP_TRANSFORM
+            # after VIDEO_AUG (video_retrieval_videodatasets.py:213-224) —
+            # the 256x256 augmented frames must be resized/cropped for the
+            # ViT, unlike the decode-only eval path below
+            from .datasets import clip_preprocess_batch
+
+            frames = clip_preprocess_batch(_read_video_train(video_path, self.rng))
         else:
-            vid = read_video_full(video_path)
-        frames = vid  # raw uint8 [t, h, w, 3]; retrieval_eval preprocesses
-        # only the stride-selected frames (~16x less host work than
-        # preprocessing everything before striding)
+            frames = read_video_full(video_path)
+            # raw uint8 [t, h, w, 3]; retrieval_eval preprocesses only the
+            # stride-selected frames (~16x less host work than
+            # preprocessing everything before striding)
 
         if self.augment:
             if not self.train:
@@ -156,7 +163,9 @@ class VideoDatasetMSRVTT:
             text = tokenize(title)
         except RuntimeError as e:
             print(f"Failed to tokenize {title}", str(e))
-            text = tokenize([t[:20] for t in title])
+            # truncate only over-length captions (BPE-truncate keeps the
+            # other captions of the video intact)
+            text = tokenize(title, truncate=True)
         return frames, text, vid_id
 
 
@@ -214,12 +223,14 @@ class VideoDatasetMSVD:
         vid_id = video_path.split("/")[-1][:-4]
 
         if self.augment:
-            vid = _read_video_train(video_path, self.rng)
+            # reference: CLIP_TRANSFORM after VIDEO_AUG (see MSRVTT above)
+            from .datasets import clip_preprocess_batch
+
+            frames = clip_preprocess_batch(_read_video_train(video_path, self.rng))
         else:
-            vid = read_video_full(video_path)
-        frames = vid  # raw uint8 [t, h, w, 3]; retrieval_eval preprocesses
-        # only the stride-selected frames (~16x less host work than
-        # preprocessing everything before striding)
+            frames = read_video_full(video_path)
+            # raw uint8 [t, h, w, 3]; retrieval_eval preprocesses only the
+            # stride-selected frames
 
         captions = [" ".join(s) for s in self.captions[vid_id]]
         if self.augment:
@@ -238,7 +249,7 @@ class VideoDatasetMSVD:
             text = tokenize(captions)
         except RuntimeError as e:
             print(f"Failed to tokenize {captions}", str(e))
-            text = tokenize([t[:20] for t in captions])
+            text = tokenize(captions, truncate=True)
         return frames, text, vid_id
 
 

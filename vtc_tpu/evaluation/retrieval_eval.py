@@ -203,12 +203,13 @@ def retrieval_evaluation(
         nchunk = chunks.shape[0]
 
         if needs_comments:
-            # one shared comment row [1, 5, 77]: the model encodes the 5
+            # one shared comment row [1, n<=5, 77]: the model encodes the
             # unique comments ONCE and broadcasts the features across
             # captions/chunks (previously tiled to every row — up to
-            # dozens of duplicate text-tower encodes per video), and the
-            # comment operand shape is constant across videos (fewer jit
-            # variants)
+            # dozens of duplicate text-tower encodes per video). One jit
+            # variant per distinct comment COUNT remains (reference feeds
+            # unpadded real[:5] comments; padding with empties would add
+            # mask-embedding rows to the CAM stack and change the math)
             if comments is None:
                 comm = empty_comment[None]
             else:
