@@ -117,3 +117,47 @@ def test_retrieval_evaluation_on_msrvtt(msrvtt_root):
     )
     assert outdf.shape == (3, 2)
     assert np.isfinite(outdf.to_numpy()).all()
+
+
+def test_augment_path_preprocesses_frames(tmp_path):
+    """augment(train) must return CLIP-preprocessed [8, 3, 224, 224] frames
+    — the reference chains CLIP_TRANSFORM after VIDEO_AUG
+    (video_retrieval_videodatasets.py:213-224). Raw 256x256 augmented
+    frames would patchify to 64 patches against the ViT's 49+1 positional
+    embedding."""
+    root = tmp_path / "msrvtt6"
+    (root / "TrainValVideo").mkdir(parents=True)
+    (root / "TestVideo").mkdir()
+    meta = root / "meta"
+    meta.mkdir()
+
+    vid = "video0"
+    vw = cv2.VideoWriter(
+        str(root / "TrainValVideo" / f"{vid}.mp4"),
+        cv2.VideoWriter_fourcc(*"mp4v"), 30, (64, 48),
+    )
+    for f in range(60):
+        vw.write(np.full((48, 64, 3), f * 4 % 255, dtype=np.uint8))
+    vw.release()
+
+    sentences = [
+        {"video_id": vid, "caption": f"caption number {c}"} for c in range(6)
+    ]
+    (root / "train_val_videodatainfo.json").write_text(
+        json.dumps({"sentences": sentences})
+    )
+    (root / "test_videodatainfo.json").write_text(
+        json.dumps({"sentences": []})
+    )
+    (meta / "train_list_full.txt").write_text(vid + "\n")
+    (meta / "val_list_full.txt").write_text("")
+
+    ds = VideoDatasetMSRVTT(
+        root=str(root), train=True, split="full-val", augment=True,
+        meta_dir=str(meta),
+    )
+    frames, title, comments, _ = ds[0]
+    assert frames.shape == (8, 3, 224, 224), frames.shape
+    assert frames.dtype == np.float32
+    assert title.shape == (77,)
+    assert comments.shape == (5, 77)
