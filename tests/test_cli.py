@@ -108,7 +108,8 @@ def test_train_cli_main(corpus):
     assert (run_dir / "config.json").exists()
 
 
-def test_eval_cli_main(corpus):
+def test_eval_cli_main(corpus, monkeypatch, tmp_path):
+    monkeypatch.chdir(tmp_path)  # eval writes its result json to cwd
     tmp_path, csv, root = corpus
     cfg_path = tmp_path / "cfg_eval.jsonc"
     cfg_path.write_text(json.dumps(_config(tmp_path, csv, root)))

@@ -210,7 +210,9 @@ def test_dataloader_batching(tmp_path):
     assert np.asarray(meta["id"]).shape == (8,)
 
     # shuffling differs across epochs but is seeded-deterministic per loader
-    ids1 = [tuple(np.asarray(b[3]["id"])) for b in loader]
+    ids0 = [tuple(np.asarray(b[3]["id"])) for b in batches]  # epoch 1
+    ids1 = [tuple(np.asarray(b[3]["id"])) for b in loader]   # epoch 2
+    assert ids0 != ids1  # re-shuffled between epochs (not a fixed perm)
     loader2 = DataLoader(ds, batch_size=8, shuffle=True, drop_last=True, num_workers=0)
     _ = list(loader2)
     ids2 = [tuple(np.asarray(b[3]["id"])) for b in loader2]

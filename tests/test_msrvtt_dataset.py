@@ -108,7 +108,7 @@ def test_retrieval_evaluation_on_msrvtt(msrvtt_root):
 
         def __getitem__(self, i):
             frames, text, vid_id = ds[i]  # raw uint8 [t, h, w, 3]
-            frames = frames[:, ::2, ::2][:, :32, :32]  # [t, 32, 32, 3]
+            frames = frames[:, ::2, ::2][:, :32, :32]  # [t, 24, 32, 3]; retrieval_eval's _ensure_preprocessed resizes/crops to image_size
             return frames, text, vid_id
 
     outdf = retrieval_evaluation(

@@ -235,8 +235,6 @@ def test_loss_decreases_with_training(tmp_path):
     ds = _FeatureCommentDataset(csv, str(tmp_path / "vis.npz"), train=True)
     loader = DataLoader(ds, batch_size=16, shuffle=True, drop_last=True, num_workers=0)
 
-    import optax
-
     from vtc_tpu.training.trainer import TrainState, make_step_fns
 
     tx = build_optimizer(
@@ -285,10 +283,16 @@ def test_warm_start_image_to_video(tmp_path):
     assert missing == [] and unexpected == []
     assert_warm_start_keys(missing, unexpected)
 
-    # graft without surgery: every unmatched key must be time/temporal
-    img_params2 = jax.tree_util.tree_map(np.asarray, img_vars["params"])
-    flat_vid_visual = vid_params["clip"]["visual"]
-    del flat_vid_visual  # (structure difference exercised above)
+    # the warm-start guard must ACCEPT time/temporal-only mismatches and
+    # REJECT anything else (base_trainer.py:165-176's asserted patterns)
+    assert_warm_start_keys(
+        ["clip/visual/temporal_embed", "clip/visual/x/timeattn/in_proj_weight"],
+        ["cam/final_linear", "cam/mask_embedding"],
+    )
+    with pytest.raises(AssertionError):
+        assert_warm_start_keys(["clip/visual/conv1"], [])
+    with pytest.raises(AssertionError):
+        assert_warm_start_keys([], ["clip/text/token_embedding"])
 
 
 def test_checkpoint_roundtrip_orbax(tmp_path):
@@ -549,9 +553,6 @@ def test_trainer_resume_roundtrip(tmp_path):
     t1.train()
     ckpt = config.save_dir / "checkpoint-epoch1"
     assert ckpt.exists()
-
-    class _Cfg:
-        pass
 
     config2 = _min_config(tmp_path, epochs=3)
     config2.resume = ckpt
