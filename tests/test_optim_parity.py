@@ -61,3 +61,99 @@ def test_steplr_schedule_values():
     assert sched(29) == 0.1           # epoch 2
     assert np.isclose(sched(30), 0.05)  # epoch 3
     assert np.isclose(sched(60), 0.025)  # epoch 6
+
+
+def _group_tree(w):
+    """One param per optimizer group + a frozen one."""
+    return {
+        "clip": {
+            "visual": {
+                "proj": jnp.asarray(w(0)),                      # fc group
+                "conv1": jnp.asarray(w(1)),                     # rest (frozen under 'visual')
+                "transformer": {"resblocks_0": {
+                    "attn": {"in_proj_bias": jnp.asarray(w(2))},  # rest_nodecay
+                    "mlp": {"c_fc": {"kernel": jnp.asarray(w(3))}},  # rest_decay
+                }},
+            },
+            "text": {"text_projection": jnp.asarray(w(4))},     # fc group
+        },
+        "cam": {"final_linear": {"kernel": jnp.asarray(w(5))}},  # adapter
+        "visual_extra": {"temporal_fc": {"kernel": jnp.asarray(w(6))}},  # time
+    }
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.parametrize("opt_type,amsgrad", [
+    ("Adam", True), ("Adam", False), ("AdamW", False),
+])
+def test_fused_matches_chain(opt_type, amsgrad):
+    """The fused single-pass optimizer is numerically identical to the optax
+    multi_transform chain across all 4 groups, decay splits, a frozen
+    branch, and both Adam flavors."""
+    rng = np.random.default_rng(1)
+    w = lambda i: rng.normal(size=(4, 3)).astype(np.float32)  # noqa: E731
+    params = _group_tree(w)
+    cfg = {
+        "type": opt_type,
+        "args": {"lr": 1e-2, "weight_decay": 1e-3, "amsgrad": amsgrad},
+    }
+    sched_cfg = {"type": "StepLR", "args": {"step_size": 1, "gamma": 0.5}}
+    kw = dict(
+        scheduler_cfg=sched_cfg, steps_per_epoch=4,
+        fc_lr=5e-3, time_lr=2e-3, adapter_lr=3e-2,
+        branch_to_freeze="visual",
+    )
+    tx_f = build_optimizer(params, cfg, fused=True, **kw)
+    tx_c = build_optimizer(params, cfg, fused=False, **kw)
+
+    sf, sc = tx_f.init(params), tx_c.init(params)
+    pf = pc = params
+    for s in range(10):
+        g = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(
+                np.random.default_rng(100 + s).normal(size=x.shape),
+                jnp.float32,
+            ),
+            params,
+        )
+        uf, sf = tx_f.update(g, sf, pf)
+        pf = jax.tree_util.tree_map(lambda a, u: a + u, pf, uf)
+        uc, sc = tx_c.update(g, sc, pc)
+        pc = jax.tree_util.tree_map(lambda a, u: a + u, pc, uc)
+    for (kf, lf), (kc, lc) in zip(
+        jax.tree_util.tree_leaves_with_path(pf),
+        jax.tree_util.tree_leaves_with_path(pc),
+    ):
+        assert kf == kc
+        np.testing.assert_allclose(
+            np.asarray(lf), np.asarray(lc), atol=1e-6, rtol=1e-6,
+            err_msg=str(kf),
+        )
+    # frozen leaf untouched
+    np.testing.assert_array_equal(
+        np.asarray(pf["clip"]["visual"]["conv1"]),
+        np.asarray(params["clip"]["visual"]["conv1"]),
+    )
+
+
+def test_fused_apply_equals_update_then_add():
+    rng = np.random.default_rng(2)
+    w = lambda i: rng.normal(size=(3, 3)).astype(np.float32)  # noqa: E731
+    params = _group_tree(w)
+    cfg = {"type": "Adam", "args": {"lr": 1e-2, "weight_decay": 1e-3,
+                                    "amsgrad": True}}
+    tx = build_optimizer(params, cfg, fused=True)
+    g = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(rng.normal(size=x.shape), jnp.float32), params
+    )
+    s0 = tx.init(params)
+    u, s1 = tx.update(g, s0, params)
+    p_two_step = jax.tree_util.tree_map(lambda a, d: a + d, params, u)
+    p_fused, s1b = tx.apply(g, s0, params)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p_two_step), jax.tree_util.tree_leaves(p_fused)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+    assert int(s1.count) == int(s1b.count) == 1

@@ -72,6 +72,29 @@ def clip_preprocess_frames(frames: np.ndarray, size: int = 224) -> np.ndarray:
     )
 
 
+def extract_patches(images: np.ndarray, patch: int) -> np.ndarray:
+    """[..., H, W, 3] -> [..., (H//p)·(W//p), p·p·3] pixel patches.
+
+    Host half of the patch-input fast path: the ViT's patch embedding is a
+    stride-p conv, i.e. a matmul over flattened patches — extracting the
+    patches on host hands the device an operand that is *already* in matmul
+    layout, so the NCHW relayout `copy` and the 6-D `transpose` disappear
+    from the device trace entirely (they were 26% of the eval step,
+    PERFORMANCE.md round 2). Works on uint8 (preferred: 4x fewer transfer
+    bytes; the device folds CLIP normalization into the conv weights) or
+    float. Patch vectors are in (ph, pw, c) pixel order — the device side
+    (``models/clip_model.py:hwc_col_perm``) permutes the conv columns to
+    match, not the data.
+    """
+    *lead, h, w, c = images.shape
+    gh, gw = h // patch, w // patch
+    x = images.reshape(*lead, gh, patch, gw, patch, c)
+    x = np.moveaxis(x, -3, -4)  # [..., gh, gw, p, p, c]
+    return np.ascontiguousarray(
+        x.reshape(*lead, gh * gw, patch * patch * c)
+    )
+
+
 # --------------------------------------------------------------------------
 # Train-time augmentations (host side, numpy RNG for reproducibility)
 # --------------------------------------------------------------------------

@@ -73,8 +73,31 @@ def patchify(x: jax.Array, patch: int) -> jax.Array:
     return x.reshape(b, gh * gw, c * patch * patch)
 
 
+def hwc_col_perm(patch: int) -> np.ndarray:
+    """Column permutation taking the channel-major (c, ph, pw) conv1 weight
+    to the (ph, pw, c) pixel order of host-extracted patches
+    (``data/preprocess.py:extract_patches``). Permuting the loop-invariant
+    weight instead of the per-batch activations keeps the device trace free
+    of data relayouts."""
+    idx = np.arange(3 * patch * patch).reshape(3, patch, patch)
+    return idx.transpose(1, 2, 0).reshape(-1)
+
+
+def patch_input_dim(variant: "ClipVariant") -> int:
+    return 3 * variant.patch_size * variant.patch_size
+
+
 class VisionTransformer(nn.Module):
-    """CLIP visual tower."""
+    """CLIP visual tower.
+
+    Accepts either NCHW images ``[B, 3, H, W]`` (CLIP-normalized float) or
+    pre-patchified input ``[B, N, p·p·3]`` from
+    ``data/preprocess.py:extract_patches`` — uint8 raw pixels (CLIP
+    normalization is folded into the conv weights and positional embedding,
+    so the whole patch embed is ONE matmul with no elementwise pass) or
+    float already-normalized patches. The patch path removes the NCHW
+    relayout copies and the patchify transpose from the device trace.
+    """
 
     variant: ClipVariant
     dtype: jnp.dtype = jnp.float32
@@ -92,10 +115,34 @@ class VisionTransformer(nn.Module):
             (width, 3 * patch * patch),
             jnp.float32,
         )
-        x = patchify(x.astype(self.dtype), patch)
-        x = jnp.matmul(
-            x, conv1.astype(self.dtype).T, preferred_element_type=jnp.float32
-        ).astype(self.dtype)
+        patch_bias = None  # folded-normalization bias, rides the pos-embed add
+        if x.ndim == 3:
+            # pre-patchified [B, N, p·p·3] in (ph, pw, c) pixel order: permute
+            # the loop-invariant WEIGHT columns to match (never the data)
+            from ..data.preprocess import CLIP_MEAN, CLIP_STD
+
+            w = conv1[:, jnp.asarray(hwc_col_perm(patch))]  # [width, pd]
+            if jnp.issubdtype(x.dtype, jnp.integer):
+                # uint8 pixels u: normalized = u·a + b with a = 1/(255·std),
+                # b = -mean/std per column → fold a into the weight columns
+                # and b@Wᵀ into the (per-position-constant) bias. uint8
+                # values 0..255 are exact in bf16, so the matmul operand
+                # needs no correction.
+                std_vec = jnp.asarray(np.tile(CLIP_STD, patch * patch))
+                mean_vec = jnp.asarray(np.tile(CLIP_MEAN, patch * patch))
+                a = 1.0 / (255.0 * std_vec)
+                b = -mean_vec / std_vec
+                patch_bias = b @ w.T  # fp32 [width], loop-invariant
+                w = w * a[None, :]
+            x = jnp.matmul(
+                x.astype(self.dtype), w.astype(self.dtype).T,
+                preferred_element_type=jnp.float32,
+            ).astype(self.dtype)
+        else:
+            x = patchify(x.astype(self.dtype), patch)
+            x = jnp.matmul(
+                x, conv1.astype(self.dtype).T, preferred_element_type=jnp.float32
+            ).astype(self.dtype)
 
         class_embedding = self.param(
             "class_embedding", nn.initializers.normal(scale), (width,), jnp.float32
@@ -112,7 +159,12 @@ class VisionTransformer(nn.Module):
             class_embedding.astype(self.dtype), (x.shape[0], 1, width)
         )
         x = jnp.concatenate([cls, x], axis=1)
-        x = x + positional_embedding.astype(self.dtype)
+        pos = positional_embedding
+        if patch_bias is not None:
+            # the normalization bias is constant per patch position — fold it
+            # into the positional embedding (row 0 is CLS: no patch bias)
+            pos = pos.at[1:].add(patch_bias[None, :])
+        x = x + pos.astype(self.dtype)
 
         x = LayerNorm32(name="ln_pre")(x)
         x = Transformer(

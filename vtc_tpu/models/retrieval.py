@@ -125,10 +125,21 @@ class _ClipRetrievalBase(nn.Module):
 
     def _encode_vis(self, vis):
         """Precomputed [b,d] passthrough | image [b,3,h,w] | video [b,t,3,h,w]
-        frame-mean (``model/model.py:326-338``)."""
+        frame-mean (``model/model.py:326-338``) | pre-patchified image
+        [b,n,p·p·3] or video [b,t,n,p·p·3] (the uint8 patch fast path,
+        ``data/preprocess.py:extract_patches``)."""
+        from .clip_model import patch_input_dim
+
         shp = vis.shape
+        pd = patch_input_dim(self.variant)
         if len(shp) == 2 and shp[1] == self.feature_dim:
             return vis.astype(jnp.float32)
+        if len(shp) == 3 and shp[-1] == pd:
+            return self.clip.encode_image(vis).astype(jnp.float32)
+        if len(shp) == 4 and shp[-1] == pd:
+            b, t = shp[0], shp[1]
+            feats = self.clip.encode_image(vis.reshape((b * t,) + shp[2:]))
+            return feats.reshape(b, t, -1).mean(axis=1).astype(jnp.float32)
         if len(shp) == 4:
             return self.clip.encode_image(vis).astype(jnp.float32)
         if len(shp) == 5:

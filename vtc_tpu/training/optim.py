@@ -16,7 +16,7 @@ differs). StepLR is a per-group step-count schedule
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -196,6 +196,136 @@ def _adam_like(lr_schedule, opt_args: dict):
     return optax.chain(*parts)
 
 
+# ---------------------------------------------------------------------------
+# Fused single-pass optimizer (the default)
+# ---------------------------------------------------------------------------
+
+
+class FusedOptState(NamedTuple):
+    """count + param-shaped fp32 moment trees. Frozen leaves hold 0-size
+    placeholders so the tree structure still matches the params (keeps every
+    update a single plain ``tree_map``) at zero memory cost."""
+
+    count: jax.Array
+    mu: object
+    nu: object
+    nu_max: object  # zeros-placeholder tree when amsgrad is off
+
+
+class FusedOptimizer:
+    """The reference's 4-group Adam/AdamW (train.py:94-192) as ONE fused
+    elementwise pass per parameter.
+
+    The optax chain (``build_optimizer(..., fused=False)``) expresses the
+    same math as a pipeline of tree_maps — decay-into-grad, moment updates,
+    amsgrad max, schedule scale, then the trainer's separate ``p + u`` — and
+    XLA materializes enough of the intermediates that the update measured
+    ~3x the HBM floor (14.5 ms of a 66 ms step, PERFORMANCE.md round 2).
+    Computing g', mu, nu, nu_max and the new param in one lambda per leaf
+    gives XLA a single fusion whose traffic is the amsgrad minimum: read
+    {g, p, mu, nu, nu_max}, write {p, mu, nu, nu_max}.
+
+    Interface: ``init``/``update`` follow optax (``update`` returns deltas so
+    ``test_optim_parity`` and generic callers keep working); ``apply`` is the
+    fused fast path returning ``(new_params, new_state)`` directly — the
+    trainer uses it so the param write rides the same kernel.
+
+    torch semantics preserved exactly (same as the chain): L2 decay added to
+    the gradient before the moments (Adam) or decoupled (AdamW); amsgrad
+    maxes the *uncorrected* second moment with bias correction applied to
+    the max (torch.optim.Adam, see ``scale_by_amsgrad_torch``).
+    """
+
+    def __init__(self, labels, schedules, args, opt_type):
+        self._labels = labels
+        self._schedules = schedules  # {group: schedule(step) -> lr}
+        b1, b2 = args.get("betas", (0.9, 0.999))
+        self._b1, self._b2 = float(b1), float(b2)
+        self._eps = float(args.get("eps", 1e-8))
+        self._wd = float(args.get("weight_decay", 0.0) or 0.0)
+        self._amsgrad = bool(args.get("amsgrad", False))
+        self._decoupled = opt_type == "AdamW"
+
+    # -- state ------------------------------------------------------------
+    def init(self, params):
+        def moments(label, p):
+            if label == "frozen":
+                # scalar placeholder: keeps the tree structure aligned with
+                # params at no memory cost (0-size arrays break Orbax saves)
+                return jnp.zeros((), jnp.float32)
+            return jnp.zeros_like(p, dtype=jnp.float32)
+
+        mk = lambda: jax.tree_util.tree_map(  # noqa: E731
+            moments, self._labels, params
+        )
+        return FusedOptState(
+            count=jnp.zeros((), jnp.int32), mu=mk(), nu=mk(), nu_max=mk()
+        )
+
+    # -- core fused step ---------------------------------------------------
+    def _step(self, grads, state, params, *, return_new_params):
+        count = state.count + 1
+        cf = count.astype(jnp.float32)
+        bc1 = 1 - self._b1**cf
+        bc2 = 1 - self._b2**cf
+        # schedules are indexed by the pre-increment step, matching
+        # optax.scale_by_schedule's own counter in the unfused chain
+        lrs = {g: s(state.count) for g, s in self._schedules.items()}
+
+        labels_flat, treedef = jax.tree_util.tree_flatten(self._labels)
+        flat = lambda t: treedef.flatten_up_to(t)  # noqa: E731
+        outs = [
+            self._leaf(label, g, p, m, v, vm, lrs, bc1, bc2, return_new_params)
+            for label, g, p, m, v, vm in zip(
+                labels_flat, flat(grads), flat(params),
+                flat(state.mu), flat(state.nu), flat(state.nu_max),
+            )
+        ]
+        unflat = lambda i: treedef.unflatten([o[i] for o in outs])  # noqa: E731
+        new_state = FusedOptState(
+            count=count, mu=unflat(1), nu=unflat(2), nu_max=unflat(3)
+        )
+        return unflat(0), new_state
+
+    def _leaf(self, label, g, p, m, v, vm, lrs, bc1, bc2, return_new_params):
+        if label == "frozen":
+            out = p if return_new_params else jnp.zeros_like(p)
+            return out, m, v, vm
+        group, decay = label.rsplit("_", 1)
+        lr = lrs[group]
+        wd = self._wd if decay == "decay" else 0.0
+        b1, b2, eps = self._b1, self._b2, self._eps
+
+        g = g.astype(jnp.float32)
+        if wd and not self._decoupled:
+            g = g + wd * p.astype(jnp.float32)
+        m = b1 * m + (1 - b1) * g
+        v = b2 * v + (1 - b2) * jnp.square(g)
+        if self._amsgrad:
+            vm = jnp.maximum(vm, v)
+            denom = jnp.sqrt(vm) / jnp.sqrt(bc2) + eps
+        else:
+            denom = jnp.sqrt(v) / jnp.sqrt(bc2) + eps
+        upd = (m / bc1) / denom
+        if wd and self._decoupled:
+            upd = upd + wd * p.astype(jnp.float32)
+        delta = (-lr * upd).astype(p.dtype)
+        out = p + delta if return_new_params else delta
+        return out, m, v, vm
+
+    # -- interfaces --------------------------------------------------------
+    def update(self, grads, state, params=None):
+        """optax-style: returns (updates, new_state)."""
+        if params is None:
+            raise ValueError("FusedOptimizer.update requires params")
+        return self._step(grads, state, params, return_new_params=False)
+
+    def apply(self, grads, state, params):
+        """Fused fast path: returns (new_params, new_state) — the param
+        write fuses into the same per-leaf kernel."""
+        return self._step(grads, state, params, return_new_params=True)
+
+
 def build_optimizer(
     params,
     optimizer_cfg: dict,
@@ -205,8 +335,14 @@ def build_optimizer(
     time_lr: Optional[float] = None,
     adapter_lr: Optional[float] = None,
     branch_to_freeze=False,
+    fused: bool = True,
 ):
-    """optax GradientTransformation reproducing train.py:94-192."""
+    """The reference's 4-group optimizer (train.py:94-192).
+
+    ``fused=True`` (default) returns the single-pass :class:`FusedOptimizer`;
+    ``fused=False`` keeps the optax multi_transform chain (same math, more
+    memory passes — retained for A/B measurement and as the optax-native
+    formulation)."""
     opt_type = optimizer_cfg.get("type", "Adam")
     if opt_type not in ("Adam", "AdamW"):
         raise ValueError(f"Unsupported optimizer type {opt_type!r}")
@@ -219,6 +355,15 @@ def build_optimizer(
         "fc": fc_lr if fc_lr is not None else base_lr,
         "time": time_lr if time_lr is not None else base_lr,
     }
+
+    labels = param_labels(params, branch_to_freeze)
+
+    if fused:
+        schedules = {
+            group: make_lr_schedule(lr, scheduler_cfg, steps_per_epoch)
+            for group, lr in group_lr.items()
+        }
+        return FusedOptimizer(labels, schedules, args, opt_type)
 
     transforms: Dict[str, optax.GradientTransformation] = {
         "frozen": optax.set_to_zero()
@@ -240,7 +385,6 @@ def build_optimizer(
         nodecay_args = dict(args, weight_decay=0.0)
         transforms[f"{group}_nodecay"] = _adam_like(sched, nodecay_args)
 
-    labels = param_labels(params, branch_to_freeze)
     return optax.multi_transform(transforms, labels)
 
 

@@ -113,10 +113,19 @@ def make_step_fns(module, criterion, tx, donate: bool = True):
         (loss, (out, new_vars)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params)
-        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-        new_params = jax.tree_util.tree_map(
-            lambda p, u: p + u.astype(p.dtype), state.params, updates
-        )
+        if hasattr(tx, "apply"):
+            # fused single-pass optimizer: the param write rides the same
+            # per-leaf kernel as the moment updates (PERFORMANCE.md round 3)
+            new_params, new_opt_state = tx.apply(
+                grads, state.opt_state, state.params
+            )
+        else:
+            updates, new_opt_state = tx.update(
+                grads, state.opt_state, state.params
+            )
+            new_params = jax.tree_util.tree_map(
+                lambda p, u: p + u.astype(p.dtype), state.params, updates
+            )
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,
