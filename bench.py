@@ -2,8 +2,19 @@
 
 Flagship = PretrainedCLIP_finaltf (CLIP ViT-B/32 image+text towers + Context
 Adapter over 5 comments) running the retrieval-eval forward: encode image,
-title, 5 comments, adapt, dense similarity. bf16 activations / fp32 params
-and accumulation (MXU-native).
+title, 5 comments, adapt, dense similarity. bf16 activations / fp32
+accumulation (MXU-native). The image input rides the uint8 patch fast path
+(host patch extraction, ``data/preprocess.py:extract_patches``; CLIP
+normalization folded into the conv weights on device) — the same path the
+eval CLI uses with ``uint8_images``.
+
+Measurement discipline (PERFORMANCE.md): the whole iteration loop runs
+inside ONE jitted program (``lax.fori_loop``, dynamic bound so warmup and
+timed calls share the executable) because the dev tunnel costs ~0.6 s per
+dispatch; synchronization is an explicit host transfer. The reported value
+is the MEDIAN of three timed windows in a clean process (not best-of-N).
+The worst-case full-77-token-context throughput is measured the same way in
+its own subprocess and reported alongside.
 
 Baseline = the same forward jitted on one host CPU (the reference ships no
 hardware benchmarks — SURVEY.md §6 — so the CPU run is the comparison point;
@@ -11,7 +22,8 @@ the BASELINE.md target is >=10x CPU). The CPU number is measured once in a
 subprocess and cached in ``.bench_cpu_baseline.json``.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "full_context_pairs_per_sec": N}
 """
 
 import json
@@ -28,10 +40,11 @@ import json, time
 from functools import partial
 import numpy as np
 
-def run(batch, iters, warmup, dtype_name):
+def run(batch, iters, warmup, dtype_name, ntoks=16, windows=3):
     import jax
     import jax.numpy as jnp
     from vtc_tpu.models import create_model
+    from vtc_tpu.data.preprocess import extract_patches
 
     dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
     module, variables = create_model(
@@ -57,28 +70,25 @@ def run(batch, iters, warmup, dtype_name):
             # corresponding tower out of the loop and the bench overstates
             # throughput (caught: loop-invariant tokens let the whole text
             # tower run once instead of per iteration).
-            v = vis + carry * 1e-12
-            tok_eps = (carry * 1e-12).astype(jnp.int32)  # == 0, but data-dependent
+            v = vis + (carry * 1e-12).astype(vis.dtype)  # uint8-safe zero
+            tok_eps = (carry * 1e-12).astype(jnp.int32)
             t = title + tok_eps
             c = comments + tok_eps
             feats_vis, feats_text, sim = module.apply(variables, v, t, c)
-            return jnp.sum(sim).astype(vis.dtype)
+            return jnp.sum(sim).astype(jnp.float32)
 
         # dynamic loop bound: warmup and timed calls share one executable
-        return jax.lax.fori_loop(0, n, body, jnp.zeros((), vis.dtype))
+        return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
+
+    # uint8 patch input: the flagship eval fast path (4x fewer transfer
+    # bytes; zero device-side layout work — normalization rides the conv)
+    rng = np.random.default_rng(0)
+    u8 = rng.integers(0, 256, (batch, 224, 224, 3), dtype=np.uint8)
+    vis = jnp.asarray(extract_patches(u8, 32))
 
     # realistic text lengths: VTC titles/comments are short (~15 BPE tokens)
     # and the eval CLI truncates to the EOT bucket (exactness-preserving —
-    # the causal tower never reads past EOT); the bench models the same
-    # workload. Set BENCH_FULL_CONTEXT=1 for the worst-case 77-token run.
-    rng = np.random.default_rng(0)
-    vis = jnp.asarray(
-        rng.normal(size=(batch, 3, 224, 224)).astype(np.float32)
-    ).astype(dtype)
-    import os as _os
-
-    ntoks = 77 if _os.environ.get("BENCH_FULL_CONTEXT") == "1" else 16
-
+    # the causal tower never reads past EOT); ntoks=77 is the worst case.
     def make_tokens(lead, n_real=14):
         toks = np.zeros(lead + (ntoks,), np.int32)
         toks[..., 0] = 49406
@@ -92,17 +102,31 @@ def run(batch, iters, warmup, dtype_name):
     # synchronize via an explicit host transfer: block_until_ready is not
     # reliable on all experimental PJRT backends
     float(fwd_n(variables, vis, title, comments, jnp.int32(warmup)))
-    # best of two timed windows: the tunneled dev chip shows occasional
-    # process-level slow draws; both windows run the identical executable,
-    # so the faster one is the honest device throughput
-    best = 0.0
-    for _ in range(2):
+    # median of `windows` timed windows of the same executable (the repo's
+    # stated measurement discipline; best-of-N systematically reports the
+    # fast tail)
+    vals = []
+    for _ in range(windows):
         tic = time.perf_counter()
         float(fwd_n(variables, vis, title, comments, jnp.int32(iters)))
-        dt = time.perf_counter() - tic
-        best = max(best, batch * iters / dt)
-    return best
+        vals.append(batch * iters / (time.perf_counter() - tic))
+    return float(sorted(vals)[len(vals) // 2])
 """
+
+
+def _subprocess_run(expr: str, extra_env=None, timeout=2400) -> float:
+    code = BENCH_CODE + f"\nprint('RESULT', {expr})\n"
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(Path(__file__).parent)
+    env.update(extra_env or {})
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, env=env,
+        timeout=timeout, cwd=str(Path(__file__).parent),
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT"):
+            return float(line.split()[1])
+    raise RuntimeError(f"bench subprocess failed: {out.stderr[-2000:]}")
 
 
 def _measure_cpu() -> float:
@@ -112,33 +136,31 @@ def _measure_cpu() -> float:
             return float(json.loads(CACHE.read_text())["pairs_per_sec"])
         except Exception:
             pass
-    code = BENCH_CODE + "\nprint('CPURESULT', run(8, 2, 1, 'fp32'))\n"
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env["PYTHONPATH"] = str(Path(__file__).parent)
-    out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, env=env,
-        timeout=1800, cwd=str(Path(__file__).parent),
+    val = _subprocess_run(
+        "run(8, 2, 1, 'fp32', windows=1)", {"JAX_PLATFORMS": "cpu"},
+        timeout=1800,
     )
-    for line in out.stdout.splitlines():
-        if line.startswith("CPURESULT"):
-            val = float(line.split()[1])
-            CACHE.write_text(json.dumps({"pairs_per_sec": val, "ts": time.time()}))
-            return val
-    raise RuntimeError(f"CPU baseline failed: {out.stderr[-2000:]}")
+    CACHE.write_text(json.dumps({"pairs_per_sec": val, "ts": time.time()}))
+    return val
 
 
 def main():
-    # fixed-harness sweep on v5e (realistic 16-token texts; round 2 final:
-    # einsum-layout attention + bf16 logits buffers + bf16 weights), clean
-    # process each: 80 -> 5814, 96 -> 6000, 128 -> 5779, 160 -> 6054,
-    # 192 -> 5232, 240 -> 5943
+    # fixed-harness batch sweep history in PERFORMANCE.md; 160 is the benched
+    # optimum on v5e for ViT-B/32 + 5 comments
     batch = int(os.environ.get("BENCH_BATCH", 160))
     iters = int(os.environ.get("BENCH_ITERS", 16))
 
     ns = {}
     exec(BENCH_CODE, ns)
     tpu_pps = ns["run"](batch, iters, warmup=3, dtype_name="bf16")
+
+    # worst case (full 77-token context) in its own clean subprocess
+    full_ctx = None
+    if os.environ.get("BENCH_SKIP_FULL_CONTEXT") != "1":
+        try:
+            full_ctx = _subprocess_run("run(96, 8, 2, 'bf16', ntoks=77)")
+        except Exception as e:
+            print(f"warning: full-context run unavailable ({e})", file=sys.stderr)
 
     try:
         cpu_pps = _measure_cpu()
@@ -152,6 +174,8 @@ def main():
         "unit": "pairs/s",
         "vs_baseline": round(tpu_pps / cpu_pps, 2) if cpu_pps else None,
     }
+    if full_ctx is not None:
+        result["full_context_pairs_per_sec"] = round(full_ctx, 2)
     print(json.dumps(result))
 
 

@@ -31,9 +31,16 @@ def capture(batch=160, ntoks=16, iters=8):
     variables["params"] = convert_weights(variables["params"], jnp.bfloat16)
 
     rng = np.random.default_rng(0)
-    vis = jnp.asarray(
-        rng.normal(size=(batch, 3, 224, 224)).astype(np.float32)
-    ).astype(jnp.bfloat16)
+    if os.environ.get("VTC_PROFILE_PATCHES") == "1":
+        # the uint8 patch fast path (data/preprocess.py:extract_patches)
+        from vtc_tpu.data.preprocess import extract_patches
+
+        u8 = rng.integers(0, 256, (batch, 224, 224, 3), dtype=np.uint8)
+        vis = jnp.asarray(extract_patches(u8, 32))
+    else:
+        vis = jnp.asarray(
+            rng.normal(size=(batch, 3, 224, 224)).astype(np.float32)
+        ).astype(jnp.bfloat16)
 
     def make_tokens(lead, n_real=14):
         toks = np.zeros(lead + (ntoks,), np.int32)
@@ -48,12 +55,12 @@ def capture(batch=160, ntoks=16, iters=8):
     @jax.jit
     def fwd_n(variables, vis, title, comments, n):
         def body(i, carry):
-            v = vis + carry * 1e-12
+            v = vis + (carry * 1e-12).astype(vis.dtype)  # uint8-safe
             eps = (carry * 1e-12).astype(jnp.int32)
             _, _, sim = module.apply(variables, v, title + eps, comments + eps)
-            return jnp.sum(sim).astype(vis.dtype)
+            return jnp.sum(sim).astype(jnp.float32)
 
-        return jax.lax.fori_loop(0, n, body, jnp.zeros((), vis.dtype))
+        return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
 
     # warm up / compile outside the trace
     float(fwd_n(variables, vis, title, comments, jnp.int32(2)))

@@ -14,7 +14,11 @@ import pytest
 import jax.numpy as jnp
 
 from vtc_tpu.models.clip_model import ClipModel, ClipVariant
-from vtc_tpu.models.torch_import import import_hf_clip, import_openai_clip
+from vtc_tpu.models.torch_import import (
+    import_hf_clip,
+    import_openai_clip,
+    qkv_to_torch,
+)
 
 torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
@@ -139,8 +143,10 @@ def test_openai_format_roundtrip(models):
     put("visual.proj", v["proj"])
     for i, blk in enumerate([v["transformer"][f"resblocks_{j}"] for j in range(2)]):
         pre = f"visual.transformer.resblocks.{i}"
-        put(f"{pre}.attn.in_proj_weight", blk["attn"]["in_proj_weight"])
-        put(f"{pre}.attn.in_proj_bias", blk["attn"]["in_proj_bias"])
+        put(f"{pre}.attn.in_proj_weight",
+            qkv_to_torch(blk["attn"]["in_proj_weight"]))
+        put(f"{pre}.attn.in_proj_bias",
+            qkv_to_torch(blk["attn"]["in_proj_bias"]))
         put(f"{pre}.attn.out_proj.weight", blk["attn"]["out_proj"]["kernel"], transpose=True)
         put(f"{pre}.attn.out_proj.bias", blk["attn"]["out_proj"]["bias"])
         for ln in ("ln_1", "ln_2"):
@@ -158,8 +164,10 @@ def test_openai_format_roundtrip(models):
     put("text_projection", t["text_projection"])
     for i, blk in enumerate([t["transformer"][f"resblocks_{j}"] for j in range(2)]):
         pre = f"transformer.resblocks.{i}"
-        put(f"{pre}.attn.in_proj_weight", blk["attn"]["in_proj_weight"])
-        put(f"{pre}.attn.in_proj_bias", blk["attn"]["in_proj_bias"])
+        put(f"{pre}.attn.in_proj_weight",
+            qkv_to_torch(blk["attn"]["in_proj_weight"]))
+        put(f"{pre}.attn.in_proj_bias",
+            qkv_to_torch(blk["attn"]["in_proj_bias"]))
         put(f"{pre}.attn.out_proj.weight", blk["attn"]["out_proj"]["kernel"], transpose=True)
         put(f"{pre}.attn.out_proj.bias", blk["attn"]["out_proj"]["bias"])
         for ln in ("ln_1", "ln_2"):

@@ -158,10 +158,11 @@ def test_collective_profile_is_pinned():
     * pure data-parallel must need NO resharding collectives — only
       gradient/loss all-reduces and the contrastive loss's embedding
       all-gathers (in-batch InfoNCE is global by construction);
-    * dp×tp adds resharding (all-to-all / collective-permute) because the
-      fused-qkv row split is not head-aligned (documented caveat,
-      PARITY.md §2.3) — this pin is the regression ceiling so rule changes
-      can't silently double the comms.
+    * dp×tp must need NO resharding collectives either: the fused-qkv rows
+      are stored head-major (layers.MultiHeadAttention), so the model-axis
+      row split lands on complete (q,k,v) head groups and the only TP comms
+      are the Megatron all-reduces. Round 2 pinned a2a=64 / cp=22 from the
+      torch-ordered layout; head-major drove both to zero.
     """
     import re
 
@@ -211,8 +212,8 @@ def test_collective_profile_is_pinned():
     assert dp["all-reduce"] > 0  # gradient psums exist
 
     dptp = counts(4, 2)
-    # measured profile at pin time: ar=213 ag=44 cp=22 a2a=64; ceiling 1.5x
-    assert dptp["all-reduce"] <= 320, dptp
-    assert dptp["all-gather"] <= 70, dptp
-    assert dptp["collective-permute"] <= 35, dptp
-    assert dptp["all-to-all"] <= 100, dptp
+    # measured profile at pin time (head-major qkv): ar=213 ag=44 cp=0 a2a=0
+    assert dptp["all-to-all"] == 0, dptp
+    assert dptp["collective-permute"] == 0, dptp
+    assert dptp["all-reduce"] <= 260, dptp
+    assert dptp["all-gather"] <= 60, dptp

@@ -177,8 +177,10 @@ def test_factory_warns_on_real_weights_with_fallback_vocab(tmp_path, caplog):
 
 
 def _export_block(sd, pre, b, t):
-    sd[f"{pre}.attn.in_proj_weight"] = t(b["attn"]["in_proj_weight"])
-    sd[f"{pre}.attn.in_proj_bias"] = t(b["attn"]["in_proj_bias"])
+    from vtc_tpu.models.torch_import import qkv_to_torch
+
+    sd[f"{pre}.attn.in_proj_weight"] = t(qkv_to_torch(b["attn"]["in_proj_weight"]))
+    sd[f"{pre}.attn.in_proj_bias"] = t(qkv_to_torch(b["attn"]["in_proj_bias"]))
     sd[f"{pre}.attn.out_proj.weight"] = t(b["attn"]["out_proj"]["kernel"]).T
     sd[f"{pre}.attn.out_proj.bias"] = t(b["attn"]["out_proj"]["bias"])
     sd[f"{pre}.ln_1.weight"] = t(b["ln_1"]["scale"])

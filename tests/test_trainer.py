@@ -23,6 +23,7 @@ from vtc_tpu.training.checkpoints import (
     save_checkpoint,
 )
 from vtc_tpu.training.metrics import RecallAtK
+from vtc_tpu.models.torch_import import qkv_to_torch
 from vtc_tpu.training.optim import (
     build_optimizer,
     classify_param,
@@ -340,8 +341,10 @@ def test_import_reference_torch_checkpoint(tmp_path):
     put("model.visual.proj", v["proj"])
 
     def put_block(prefix, blk):
-        put(f"{prefix}.attn.in_proj_weight", blk["attn"]["in_proj_weight"])
-        put(f"{prefix}.attn.in_proj_bias", blk["attn"]["in_proj_bias"])
+        put(f"{prefix}.attn.in_proj_weight",
+            qkv_to_torch(blk["attn"]["in_proj_weight"]))
+        put(f"{prefix}.attn.in_proj_bias",
+            qkv_to_torch(blk["attn"]["in_proj_bias"]))
         put(f"{prefix}.attn.out_proj.weight", blk["attn"]["out_proj"]["kernel"], True)
         put(f"{prefix}.attn.out_proj.bias", blk["attn"]["out_proj"]["bias"])
         for ln in ("ln_1", "ln_2"):
@@ -416,8 +419,8 @@ def test_import_reference_timesformer_checkpoint(tmp_path):
         sd[key] = torch.from_numpy(a.T.copy() if transpose else a.copy())
 
     def put_attn(prefix, attn):
-        put(f"{prefix}.in_proj_weight", attn["in_proj_weight"])
-        put(f"{prefix}.in_proj_bias", attn["in_proj_bias"])
+        put(f"{prefix}.in_proj_weight", qkv_to_torch(attn["in_proj_weight"]))
+        put(f"{prefix}.in_proj_bias", qkv_to_torch(attn["in_proj_bias"]))
         put(f"{prefix}.out_proj.weight", attn["out_proj"]["kernel"], True)
         put(f"{prefix}.out_proj.bias", attn["out_proj"]["bias"])
 

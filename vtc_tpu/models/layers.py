@@ -170,8 +170,14 @@ def pick_seq_fold(batch: int, seq: int, max_packed: int = None) -> int:
 class MultiHeadAttention(nn.Module):
     """torch.nn.MultiheadAttention-equivalent with fused qkv projection.
 
-    Parameters are stored in the torch layout (``in_proj_weight`` [3E, E],
-    ``out_proj`` Dense) so checkpoint import is a direct copy.
+    ``in_proj_weight`` is [3E, E] like torch's, but the ROWS are stored in
+    **head-major** order ``(head, {q,k,v}, dh)`` instead of torch's
+    ``({q,k,v}, head, dh)``: a contiguous row split over the mesh ``model``
+    axis then lands on complete (q,k,v) head groups, so Megatron-style TP
+    needs no all-to-alls to regroup q/k/v across shards (torch's layout put
+    whole q/k/v blocks in different shards). The permutation lives at the
+    torch checkpoint boundary (``torch_import.qkv_from_torch/qkv_to_torch``);
+    inside the framework everything speaks head-major.
 
     ``seq_fold``: 1 = plain attention; 0 = auto-pick a batch fold (see
     ``pick_seq_fold``); f>1 = pack f batch rows per attention call behind a
@@ -209,7 +215,10 @@ class MultiHeadAttention(nn.Module):
             qkv = _dot(
                 x, in_proj_weight.astype(self.dtype).T
             ) + in_proj_bias.astype(self.dtype)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
+        # head-major columns: [..., L, 3E] -> [..., L, H, 3, Dh]; the j-slices
+        # give [..., L, H, Dh] directly in the einsum's heads-trailing layout
+        hm = qkv.reshape(qkv.shape[:-1] + (h, 3, head_dim))
+        q, k, v = hm[..., 0, :], hm[..., 1, :], hm[..., 2, :]
 
         fold = self.seq_fold
         if fold != 1 and x.ndim == 3:
@@ -220,15 +229,7 @@ class MultiHeadAttention(nn.Module):
                     q, k, v, mask, f, h, head_dim, e
                 )
 
-        def heads(t):  # [..., L, E] -> [..., L, H, Dh]; heads stay trailing —
-            # the einsum below carries H in the batch dims of the dot, so no
-            # materialized [.., H, L, Dh] transpose is ever built (measured
-            # -15% vs the moveaxis formulation at ViT-B/32 shapes on v5e)
-            return t.reshape(t.shape[:-1] + (h, head_dim))
-
-        q = heads(q) * (head_dim**-0.5)
-        k = heads(k)
-        v = heads(v)
+        q = q * (head_dim**-0.5)
 
         # XLA attention. A Pallas fused path was measured extensively on v5e
         # and loses at these short sequence lengths — Mosaic's 64-lane head

@@ -8,7 +8,11 @@ are subsumed by a single ``jax.sharding.Mesh`` with axes ``("data", "model")``:
 * the transformer's large GEMMs shard Megatron-style over ``model`` (qkv /
   mlp-in split by output column, out-proj / mlp-out by input row), which also
   covers the reference's visual-tower-on-its-own-device capability without a
-  pipeline scheduler.
+  pipeline scheduler. The fused qkv rows are stored head-major
+  (``models/layers.py``), so the contiguous row split lands on complete
+  (q,k,v) head groups: the compiled dp×tp step has ZERO resharding
+  collectives (pinned by ``test_parallel.py::test_collective_profile_is_pinned``);
+  requires ``tp`` to divide the head count (12/8 heads -> tp in {2,3,4,6} ok).
 
 Everything is GSPMD: param/batch PartitionSpecs are assigned by path rules
 below and XLA inserts the collectives.
