@@ -1,16 +1,23 @@
 """Transfer-eval video retrieval datasets: MSR-VTT, MSVD, ActivityNet,
 Kinetics-700-comments.
 
-Mirrors ``dataset_loaders/video_retrieval_videodatasets.py:113-554``. Split
-metadata ships under ``vtc_tpu/data/meta/`` (public evaluation-protocol
-lists). ActivityNet gets configurable paths instead of the reference's
-hardcoded cluster paths (documented defect, ``:407-419``).
+Protocol parity with ``dataset_loaders/video_retrieval_videodatasets.py:113-554``:
+same split lists, same caption selection (incl. the jsfusion caption-index
+pickle and the miech first-caption rule), same augment-mode fake-comment
+sampling. Split metadata ships under ``vtc_tpu/data/meta/`` (public
+evaluation-protocol lists). ActivityNet gets configurable paths instead of
+the reference's hardcoded cluster paths (documented defect, ``:407-419``).
+
+Structure is this repo's own: split wiring is declarative per-dataset
+tables, the shared augment/caption/tokenize plumbing lives in module helpers,
+and diagnostics go through ``logging``.
 """
 
 from __future__ import annotations
 
 import glob
 import json
+import logging
 import os
 import pickle
 import warnings
@@ -31,6 +38,8 @@ from .video import (
 )
 
 META_DIR = Path(__file__).parent / "meta"
+
+logger = logging.getLogger(__name__)
 
 
 def _read_video_train(video_path, rng: Optional[np.random.Generator] = None):
@@ -53,204 +62,206 @@ def _read_video_train(video_path, rng: Optional[np.random.Generator] = None):
         resize_width=300, resize_height=0, subsample_to=nframes,
     )
     if vid.shape[0] == 0:
-        print("Video read failed", video_path)
+        logger.warning("video read failed, using black frames: %s", video_path)
         vid = np.zeros((nframes, 300, 300, 3), np.uint8)
     if vid.shape[0] != nframes:
         vid = linspace_subsample(vid, nframes)
     return augment_frames(vid, rng)
 
 
+def _augmented_frames(video_path, rng):
+    """Augment-mode train frames. The reference applies CLIP_TRANSFORM after
+    VIDEO_AUG (``video_retrieval_videodatasets.py:213-224``) — the 256x256
+    augmented frames must be resized/cropped for the ViT, unlike the
+    decode-only eval path."""
+    from .datasets import clip_preprocess_batch
+
+    return clip_preprocess_batch(_read_video_train(video_path, rng))
+
+
+def _fake_comment_item(frames, captions, rng, train, name):
+    """Augment mode: one caption becomes the title, five others become fake
+    comments (the reference's transfer-finetune trick)."""
+    if not train:
+        warnings.warn(f"{name}: augment with eval set is nondeterministic")
+    order = rng.permutation(len(captions))
+    picked = [captions[i] for i in order[:6]]
+    title, fake_comments = picked[0], picked[1:]
+    assert len(fake_comments) == 5
+    return (
+        frames,
+        tokenize(title, truncate=True)[0],
+        tokenize(fake_comments, truncate=True),
+        {},
+    )
+
+
+def _tokenize_captions(captions):
+    """Tokenize a video's caption set; BPE-truncate only when over-length
+    (keeps the other captions of the video intact)."""
+    try:
+        return tokenize(captions)
+    except RuntimeError as e:
+        logger.warning("over-length caption set, truncating (%s): %.80s", e, captions)
+        return tokenize(captions, truncate=True)
+
+
+def _resolve_files(video_ids, make_path, name, require_all=False):
+    """Map split ids to existing files; log (and optionally reject) misses."""
+    found, missing = [], 0
+    for v in video_ids:
+        p = make_path(v)
+        if os.path.exists(p):
+            found.append(str(p))
+        else:
+            missing += 1
+    logger.info("%s: %d files resolved, %d missing", name, len(found), missing)
+    if require_all and missing:
+        raise FileNotFoundError(f"{name}: {missing} split videos missing")
+    return found
+
+
+def _stem(path):
+    return os.path.basename(path).rsplit(".", 1)[0]
+
+
 class VideoDatasetMSRVTT:
-    """MSR-VTT with the four standard splits (jsfusion/1k-A, miech/1k-B,
-    full-val, full-test); augment mode turns extra captions into 5 fake
-    comments (``video_retrieval_videodatasets.py:113-255``)."""
+    """MSR-VTT with the four standard splits; augment mode turns extra
+    captions into 5 fake comments (``video_retrieval_videodatasets.py:113-255``)."""
+
+    # split -> (train list, eval list, caption-index pickle for eval)
+    SPLITS = {
+        "miech": ("train_list_miech.txt", "test_list_miech.txt", None),
+        "jsfusion": (
+            "train_list_jsfusion.txt", "val_list_jsfusion.txt",
+            "jsfusion_val_caption_idx.pkl",
+        ),
+        "full-val": ("train_list_full.txt", "val_list_full.txt", None),
+        "full-test": ("train_list_full.txt", "test_list_full.txt", None),
+    }
+    METADATA_JSON = ("train_val_videodatainfo.json", "test_videodatainfo.json")
+    VIDEO_DIRS = ("TrainValVideo", "TestVideo")
 
     def __init__(self, root="/data/MSRVTT", train=True, split=None, augment=False,
                  meta_dir=None, seed=0):
+        if split not in self.SPLITS:
+            raise ValueError(f"Unknown MSRVTT split {split!r}")
         self.train = train
         self.augment = augment
         self.rng = np.random.default_rng(seed)
 
-        ce_meta_dir = Path(meta_dir) if meta_dir else META_DIR / "msrvtt_meta"
-        json_files = ["train_val_videodatainfo.json", "test_videodatainfo.json"]
-        video_folders = ["TrainValVideo", "TestVideo"]
+        meta = Path(meta_dir) if meta_dir else META_DIR / "msrvtt_meta"
+        train_list, eval_list, caption_idx = self.SPLITS[split]
+        list_file = train_list if train else eval_list
 
-        caption_indices_file = None
-        if split == "miech":
-            txt_file = "train_list_miech.txt" if train else "test_list_miech.txt"
-        elif split == "jsfusion":
-            txt_file = "train_list_jsfusion.txt" if train else "val_list_jsfusion.txt"
-            if not train:
-                caption_indices_file = "jsfusion_val_caption_idx.pkl"
-        elif split == "full-val":
-            txt_file = "train_list_full.txt" if train else "val_list_full.txt"
-        elif split == "full-test":
-            txt_file = "train_list_full.txt" if train else "test_list_full.txt"
-        else:
-            raise ValueError("Unknown MSRVTT split")
+        video_ids = [
+            line.strip()
+            for line in (meta / list_file).read_text().splitlines()
+            if line.strip()
+        ]
+        logger.info("MSRVTT split %s: %d videos", split, len(video_ids))
 
-        with open(ce_meta_dir / txt_file, "r") as f:
-            video_ids = [x.strip() for x in f.read().split("\n") if x.strip()]
-        print("MSRVTT split %s, %d files" % (split, len(video_ids)))
-
-        sent_dict = defaultdict(list)
-        for json_file in json_files:
+        captions = defaultdict(list)
+        for json_file in self.METADATA_JSON:
             path = os.path.join(root, json_file)
             if not os.path.exists(path):
                 raise FileNotFoundError(path)
-            metadata = json.load(open(path))
-            for s in metadata["sentences"]:
-                sent_dict[s["video_id"]].append(s["caption"])
+            with open(path) as f:
+                for s in json.load(f)["sentences"]:
+                    captions[s["video_id"]].append(s["caption"])
 
-        video_file_dict = {}
-        for vf in video_folders:
-            vf_abs = os.path.join(root, vf)
-            for m in os.listdir(vf_abs):
-                if m.endswith(".mp4"):
-                    video_file_dict[m.split(".")[0]] = os.path.join(vf_abs, m)
+        files_by_id = {}
+        for sub in self.VIDEO_DIRS:
+            for m in glob.glob(os.path.join(root, sub, "*.mp4")):
+                files_by_id[_stem(m)] = m
 
-        if caption_indices_file is not None:
-            with open(ce_meta_dir / caption_indices_file, "rb") as f:
-                caption_indices = pickle.load(f)
-            for c, i in caption_indices.items():
-                sent_dict[c] = [sent_dict[c][i]]
-
+        # eval-protocol caption narrowing: jsfusion pins one caption per
+        # video via the pickled index; miech eval uses the first caption
+        if not train and caption_idx is not None:
+            with open(meta / caption_idx, "rb") as f:
+                for vid, i in pickle.load(f).items():
+                    captions[vid] = [captions[vid][i]]
         if not train and split == "miech":
-            for k in sent_dict:
-                sent_dict[k] = [sent_dict[k][0]]
+            for vid in captions:
+                captions[vid] = [captions[vid][0]]
 
-        self.video_files = [video_file_dict[v] for v in video_ids]
-        self.captions = sent_dict
+        self.video_files = [files_by_id[v] for v in video_ids]
+        self.captions = captions
 
     def __len__(self):
-        if self.augment and self.train:
-            return 5 * len(self.video_files)
-        return len(self.video_files)
+        n = len(self.video_files)
+        return 5 * n if (self.augment and self.train) else n
 
     def __getitem__(self, idx):
         video_path = self.video_files[idx % len(self.video_files)]
-        vid_id = video_path.split("/")[-1][:-4]
-
+        vid_id = _stem(video_path)
         if self.augment:
-            # augmented train path: the reference applies CLIP_TRANSFORM
-            # after VIDEO_AUG (video_retrieval_videodatasets.py:213-224) —
-            # the 256x256 augmented frames must be resized/cropped for the
-            # ViT, unlike the decode-only eval path below
-            from .datasets import clip_preprocess_batch
-
-            frames = clip_preprocess_batch(_read_video_train(video_path, self.rng))
-        else:
-            frames = read_video_full(video_path)
-            # raw uint8 [t, h, w, 3]; retrieval_eval preprocesses only the
-            # stride-selected frames (~16x less host work than
-            # preprocessing everything before striding)
-
-        if self.augment:
-            if not self.train:
-                warnings.warn("MSRVTT: augment with eval set is nondeterministic")
-            captions = self.captions[vid_id]
-            idxs = self.rng.permutation(len(captions))
-            captions = [captions[i] for i in idxs[:6]]
-            title = captions[0]
-            fake_comments = captions[1:]
-            assert len(fake_comments) == 5
-            return frames, tokenize(title, truncate=True)[0], tokenize(
-                fake_comments, truncate=True
-            ), {}
-
-        title = self.captions[vid_id]
-        try:
-            text = tokenize(title)
-        except RuntimeError as e:
-            print(f"Failed to tokenize {title}", str(e))
-            # truncate only over-length captions (BPE-truncate keeps the
-            # other captions of the video intact)
-            text = tokenize(title, truncate=True)
-        return frames, text, vid_id
+            frames = _augmented_frames(video_path, self.rng)
+            return _fake_comment_item(
+                frames, self.captions[vid_id], self.rng, self.train, "MSRVTT"
+            )
+        # decode-only: retrieval_eval preprocesses the stride-selected
+        # frames only (~16x less host work than preprocess-then-stride)
+        frames = read_video_full(video_path)
+        return frames, _tokenize_captions(self.captions[vid_id]), vid_id
 
 
 class VideoDatasetMSVD:
     """MSVD val/test splits (``video_retrieval_videodatasets.py:258-368``).
     Requires ``raw-captions.pkl`` placed in the meta dir (absent upstream)."""
 
+    SPLITS = {
+        "val": ("train_list.txt", "val_list.txt"),
+        "test": ("train_list.txt", "test_list.txt"),
+    }
+
     def __init__(self, root="/data/MSVD", train=True, split=None, augment=False,
                  meta_dir=None, seed=0):
-        root = Path(root)
+        if split not in self.SPLITS:
+            raise ValueError(f"Unknown MSVD split {split!r}")
         self.train = train
         self.augment = augment
         self.rng = np.random.default_rng(seed)
 
-        ce_meta_dir = Path(meta_dir) if meta_dir else META_DIR / "msvd_meta"
-        if split == "val":
-            txt_file = "train_list.txt" if train else "val_list.txt"
-        elif split == "test":
-            txt_file = "train_list.txt" if train else "test_list.txt"
-        else:
-            raise ValueError("Unknown MSVD split")
-
-        caption_file = ce_meta_dir / "raw-captions.pkl"
+        meta = Path(meta_dir) if meta_dir else META_DIR / "msvd_meta"
+        caption_file = meta / "raw-captions.pkl"
         if not caption_file.exists():
             raise FileNotFoundError(
                 f"{caption_file} — MSVD captions must be provided (the file is "
                 "also missing from the reference repo; see data/meta/README.md)"
             )
         with open(caption_file, "rb") as f:
-            self.captions = pickle.load(f)
+            self._raw_captions = pickle.load(f)
 
-        with open(ce_meta_dir / txt_file, "r") as t:
-            self.video_ids = [
-                l.strip() for l in t.read().split("\n") if l.strip()
-            ]
+        list_file = self.SPLITS[split][0 if train else 1]
+        video_ids = [
+            line.strip()
+            for line in (meta / list_file).read_text().splitlines()
+            if line.strip()
+        ]
+        self.video_files = _resolve_files(
+            video_ids,
+            lambda v: os.path.join(root, "YouTubeClips", v + ".avi"),
+            "MSVD", require_all=True,
+        )
 
-        self.video_files = []
-        nmissing = 0
-        for v in self.video_ids:
-            vfile = root / "YouTubeClips" / (v + ".avi")
-            if vfile.exists():
-                self.video_files.append(str(vfile))
-            else:
-                nmissing += 1
-        print(len(self.video_files), "loaded files", nmissing, "missing files")
-        assert nmissing == 0
+    def _captions(self, vid_id):
+        return [" ".join(words) for words in self._raw_captions[vid_id]]
 
     def __len__(self):
-        if self.augment and self.train:
-            return 5 * len(self.video_files)
-        return len(self.video_files)
+        n = len(self.video_files)
+        return 5 * n if (self.augment and self.train) else n
 
     def __getitem__(self, idx):
         video_path = self.video_files[idx % len(self.video_files)]
-        vid_id = video_path.split("/")[-1][:-4]
-
+        vid_id = _stem(video_path)
         if self.augment:
-            # reference: CLIP_TRANSFORM after VIDEO_AUG (see MSRVTT above)
-            from .datasets import clip_preprocess_batch
-
-            frames = clip_preprocess_batch(_read_video_train(video_path, self.rng))
-        else:
-            frames = read_video_full(video_path)
-            # raw uint8 [t, h, w, 3]; retrieval_eval preprocesses only the
-            # stride-selected frames
-
-        captions = [" ".join(s) for s in self.captions[vid_id]]
-        if self.augment:
-            if not self.train:
-                warnings.warn("MSVD: augment with eval set is nondeterministic")
-            idxs = self.rng.permutation(len(captions))
-            captions = [captions[i] for i in idxs[:6]]
-            title = captions[0]
-            fake_comments = captions[1:]
-            assert len(fake_comments) == 5
-            return frames, tokenize(title, truncate=True)[0], tokenize(
-                fake_comments, truncate=True
-            ), {}
-
-        try:
-            text = tokenize(captions)
-        except RuntimeError as e:
-            print(f"Failed to tokenize {captions}", str(e))
-            text = tokenize(captions, truncate=True)
-        return frames, text, vid_id
+            frames = _augmented_frames(video_path, self.rng)
+            return _fake_comment_item(
+                frames, self._captions(vid_id), self.rng, self.train, "MSVD"
+            )
+        frames = read_video_full(video_path)  # decode-only (see MSRVTT)
+        return frames, _tokenize_captions(self._captions(vid_id)), vid_id
 
 
 class VideoDatasetActivityNet:
@@ -258,45 +269,39 @@ class VideoDatasetActivityNet:
     upstream dead code with hardcoded cluster paths — here path-configurable
     and exported)."""
 
+    SPLITS = {
+        "val": ("train_list.txt", "val_1_list.txt"),
+        "test": ("train_list.txt", "val_2_list.txt"),
+    }
+
     def __init__(self, root, train=True, split=None, meta_dir=None):
-        root = Path(root)
-        self.root = root
+        if split not in self.SPLITS:
+            raise ValueError(f"Unknown ActivityNet split {split!r}")
         self.train = train
-        ce_meta_dir = Path(meta_dir) if meta_dir else META_DIR / "activitynet_meta"
+        meta = Path(meta_dir) if meta_dir else META_DIR / "activitynet_meta"
 
-        if split == "val":
-            txt_file = "train_list.txt" if train else "val_1_list.txt"
-        elif split == "test":
-            txt_file = "train_list.txt" if train else "val_2_list.txt"
-        else:
-            raise ValueError("Unknown ActivityNet split")
-
-        with open(ce_meta_dir / "raw-captions.pkl", "rb") as f:
-            self.captions = pickle.load(f)
-        with open(ce_meta_dir / txt_file, "r") as t:
-            self.video_ids = [
-                l.strip() for l in t.read().split("\n") if l.strip()
-            ]
-
-        self.video_files = []
-        nmissing = 0
-        for v in self.video_ids:
-            vfile = root / "videos" / (v + ".mp4")
-            if vfile.exists():
-                self.video_files.append(str(vfile))
-            else:
-                nmissing += 1
-        print(len(self.video_files), "loaded files", nmissing, "missing files")
+        with open(meta / "raw-captions.pkl", "rb") as f:
+            self._raw_captions = pickle.load(f)
+        list_file = self.SPLITS[split][0 if train else 1]
+        video_ids = [
+            line.strip()
+            for line in (meta / list_file).read_text().splitlines()
+            if line.strip()
+        ]
+        self.video_files = _resolve_files(
+            video_ids,
+            lambda v: os.path.join(root, "videos", v + ".mp4"),
+            "ActivityNet",
+        )
 
     def __len__(self):
         return len(self.video_files)
 
     def __getitem__(self, idx):
         video_path = self.video_files[idx]
-        vid_id = video_path.split("/")[-1][:-4]
-        vid = read_video_full(video_path)
-        frames = vid  # raw; preprocessed post-stride by retrieval_eval
-        captions = [" ".join(s) for s in self.captions[vid_id]]
+        vid_id = _stem(video_path)
+        frames = read_video_full(video_path)  # decode-only (see MSRVTT)
+        captions = [" ".join(w) for w in self._raw_captions[vid_id]]
         return frames, tokenize(captions, truncate=True), vid_id
 
 
@@ -313,45 +318,41 @@ class VideoDatasetK700Comments:
     ):
         assert train is False and split == "test"
         df = pd.read_csv(kinetics_csv)
-        self.video_files = []
-        self.titles = []
-        self.comments = []
-        self.descriptions = []
 
-        k400train = glob.glob(
-            os.path.join(root, "kinetics400", "train", "**", "*.mp4"),
-            recursive=True,
-        )
-        k700train = glob.glob(
-            os.path.join(root, "kinetics700", "train", "**", "*.mp4"),
-            recursive=True,
-        )
-        train_ids = set(
-            x.split("/")[-1].split(".")[0] for x in k700train
-        ) | set(x.split("/")[-1].split(".")[0] for x in k400train)
-
-        for _, row in df.iterrows():
-            is_val = (
-                "/test/" in row.video_path
-                and row.kinetics_id not in train_ids
-                and row.title_lang == "en"
-                and not pd.isna(row.comments)
-                and len(json.loads(row.comments)) >= 3
+        train_ids = {
+            _stem(p)
+            for dataset in ("kinetics400", "kinetics700")
+            for p in glob.glob(
+                os.path.join(root, dataset, "train", "**", "*.mp4"),
+                recursive=True,
             )
-            if is_val:
-                self.video_files.append(os.path.join(root, row.video_path))
-                self.titles.append(row.title)
-                self.comments.append(json.loads(row.comments))
-                self.descriptions.append(row.description)
-        print(len(self.video_files), "kinetics comments val files")
+        }
+
+        keep = df[
+            df.video_path.str.contains("/test/")
+            & ~df.kinetics_id.isin(train_ids)
+            & (df.title_lang == "en")
+            & df.comments.notna()
+        ]
+        self.video_files, self.titles, self.comments, self.descriptions = (
+            [], [], [], [],
+        )
+        for _, row in keep.iterrows():
+            comments = json.loads(row.comments)
+            if len(comments) < 3:
+                continue
+            self.video_files.append(os.path.join(root, row.video_path))
+            self.titles.append(row.title)
+            self.comments.append(comments)
+            self.descriptions.append(row.description)
+        logger.info("K700Comments: %d eval videos", len(self.video_files))
 
     def __len__(self):
         return len(self.video_files)
 
     def __getitem__(self, index):
-        vid = read_video_full(self.video_files[index])
-        frames = vid  # raw; preprocessed post-stride by retrieval_eval
-        vid_id = self.video_files[index].split("/")[-1].split(".")[0]
+        frames = read_video_full(self.video_files[index])  # decode-only
+        vid_id = _stem(self.video_files[index])
         title_tok = tokenize_max_len(self.titles[index])
         comments_tok = tokenize_max_len(self.comments[index])
         return frames, title_tok, comments_tok, vid_id

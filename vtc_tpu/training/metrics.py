@@ -1,25 +1,40 @@
-"""Metric aggregation mirroring the reference's ``model/metric.py``.
+"""Metric aggregation.
 
-``MetricTracker`` / ``ScalarPerBatchMetric`` / ``LossMetric`` keep the same
-interfaces (``model/metric.py:10-100``). ``RecallAtK`` keeps the reference's
-accumulate-then-compute contract and result keys
-(``"{b}_from_{a}-recall_at_{k}"``, ``model/metric.py:176-179``) but computes
-on device via ``vtc_tpu.ops.retrieval`` instead of FAISS.
+The *result-key scheme* is the parity contract with the reference
+(``"{b}_from_{a}-recall_at_{k}"``, ``model/metric.py:176-179``) and
+``RecallAtK`` keeps its accumulate-then-compute contract — but the
+aggregation machinery here is this repo's own shape: metrics are plain
+objects satisfying a small duck-typed protocol (``reset`` / ``update`` /
+``result`` plus ``is_train``/``is_val`` routing flags), and the tracker owns
+all TensorBoard emission centrally instead of threading a writer into every
+metric. R@K itself computes on device (``vtc_tpu.ops.retrieval``) — the
+reference's FAISS GPU index has no role on TPU.
 """
 
 from __future__ import annotations
 
-import time
+import logging
 from typing import Iterable
 
 import numpy as np
 
 from ..ops.retrieval import recall_at_k
 
+logger = logging.getLogger(__name__)
+
 
 class MetricTracker:
+    """Composes metrics by name and routes writer emission.
+
+    ``update`` feeds every metric one batch; metrics that return a per-batch
+    scalar get it written to TensorBoard immediately (the reference's
+    per-batch scalar stream), while dict-valued epoch results are written at
+    ``result()`` time for metrics that opt in via ``emit_result_scalars``.
+    """
+
     def __init__(self, *metrics):
         self.metrics = {}
+        self._writer = None
         for m in metrics:
             self.add_metric(m)
         self.reset()
@@ -28,8 +43,7 @@ class MetricTracker:
         self.metrics[metric.name] = metric
 
     def set_writer(self, writer):
-        for m in self.metrics.values():
-            m.set_writer(writer)
+        self._writer = writer
 
     def reset(self):
         for m in self.metrics.values():
@@ -37,44 +51,36 @@ class MetricTracker:
 
     def update(self, loss, output, meta):
         for m in self.metrics.values():
-            m.update(loss, output, meta)
+            per_batch = m.update(loss, output, meta)
+            if per_batch is not None and self._writer is not None:
+                self._writer.add_scalar(m.name, per_batch)
 
     def avg(self):
-        return {name: m.avg() for name, m in self.metrics.items()}
+        return {
+            name: m.avg() for name, m in self.metrics.items()
+            if hasattr(m, "avg")
+        }
 
     def result(self):
         res = {}
         for m in self.metrics.values():
-            res.update(m.result())
+            part = m.result()
+            res.update(part)
+            if getattr(m, "emit_result_scalars", False) and self._writer:
+                for key, value in part.items():
+                    self._writer.add_scalar(key, value)
         return res
 
 
-class BaseMetric:
-    def __init__(self, name):
-        self.name = name
-        self.writer = None
-        self.is_train = True
-        self.is_val = True
+class ScalarPerBatchMetric:
+    """Running mean of a per-batch scalar ``fn(loss, output, meta)``."""
 
-    def set_writer(self, writer):
-        self.writer = writer
+    is_train = True
+    is_val = True
+    emit_result_scalars = False
 
-    def reset(self):
-        raise NotImplementedError
-
-    def update(self, loss, output, meta):
-        raise NotImplementedError
-
-    def avg(self):
-        raise NotImplementedError
-
-    def result(self):
-        raise NotImplementedError
-
-
-class ScalarPerBatchMetric(BaseMetric):
     def __init__(self, name, metric_fun):
-        super().__init__(name)
+        self.name = name
         self.fun = metric_fun
         self.reset()
 
@@ -82,12 +88,11 @@ class ScalarPerBatchMetric(BaseMetric):
         self._total = 0.0
         self._count = 0
 
-    def update(self, loss, output, meta, n=1):
+    def update(self, loss, output, meta, n: int = 1):
         value = float(self.fun(loss, output, meta))
-        if self.writer is not None:
-            self.writer.add_scalar(self.name, value)
         self._total += value * n
         self._count += n
+        return value  # per-batch stream for the tracker's writer
 
     def avg(self):
         return self._total / max(self._count, 1)
@@ -96,64 +101,58 @@ class ScalarPerBatchMetric(BaseMetric):
         return {self.name: self.avg()}
 
 
-class LossMetric(ScalarPerBatchMetric):
-    def __init__(self):
-        super().__init__("loss", lambda loss, o, m: loss)
+def LossMetric() -> ScalarPerBatchMetric:
+    """The per-batch loss stream (reference ``LossMetric``)."""
+    return ScalarPerBatchMetric("loss", lambda loss, output, meta: loss)
 
 
-class RecallAtK(BaseMetric):
+class RecallAtK:
     """Accumulates (feats_a, feats_b) per batch; at epoch end computes
-    bidirectional R@K on device."""
+    bidirectional R@K on device. Gallery/query contract and result keys
+    match ``model/metric.py:137-179``."""
+
+    is_train = False
+    is_val = True
+    emit_result_scalars = True
+    name = "recall@k"
 
     def __init__(self, name_a, name_b, k_vals=5):
-        super().__init__("recall@k")
         if not isinstance(k_vals, Iterable):
             k_vals = [k_vals]
         self.k_vals = list(k_vals)
         self.name_a = name_a
         self.name_b = name_b
-        self.is_train = False
         self.reset()
 
     def reset(self):
-        self.features_a_list = []
-        self.features_b_list = []
+        self._feats_a = []
+        self._feats_b = []
 
     def update(self, loss, output, meta):
-        self.features_a_list.append(np.asarray(output[0]))
-        self.features_b_list.append(np.asarray(output[1]))
+        self._feats_a.append(np.asarray(output[0]))
+        self._feats_b.append(np.asarray(output[1]))
+        return None  # no per-batch scalar
 
     def compute(self, features_a, features_b):
-        """Same contract as ``model/metric.py:137-161``: gallery features_a,
-        queries features_b, returns [(k, recall)]."""
+        """Gallery ``features_a``, queries ``features_b`` -> [(k, recall)]."""
         return recall_at_k(features_a, features_b, self.k_vals)
 
-    def avg(self):
-        return None
-
     def result(self):
-        tic = time.time()
-        if not self.features_a_list:
-            import logging
-
-            logging.getLogger(__name__).warning(
+        if not self._feats_a:
+            logger.warning(
                 "RecallAtK: no batches accumulated (validation set smaller "
                 "than the batch size with drop_last?); skipping"
             )
             return {}
-        features_a = np.concatenate(self.features_a_list)
-        features_b = np.concatenate(self.features_b_list)
-
+        feats_a = np.concatenate(self._feats_a)
+        feats_b = np.concatenate(self._feats_b)
         res = {}
-        for k, recall in self.compute(features_a, features_b):
-            res[f"{self.name_b}_from_{self.name_a}-recall_at_{k}"] = recall
-        for k, recall in self.compute(features_b, features_a):
-            res[f"{self.name_a}_from_{self.name_b}-recall_at_{k}"] = recall
-
-        if self.writer:
-            for name, recall in res.items():
-                self.writer.add_scalar(name, recall)
-        del tic
+        for gallery, query, ga, qb in (
+            (feats_a, feats_b, self.name_a, self.name_b),
+            (feats_b, feats_a, self.name_b, self.name_a),
+        ):
+            for k, recall in self.compute(gallery, query):
+                res[f"{qb}_from_{ga}-recall_at_{k}"] = recall
         return res
 
 
