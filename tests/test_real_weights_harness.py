@@ -191,3 +191,49 @@ def _export_block(sd, pre, b, t):
     sd[f"{pre}.mlp.c_fc.bias"] = t(b["mlp"]["c_fc"]["bias"])
     sd[f"{pre}.mlp.c_proj.weight"] = t(b["mlp"]["c_proj"]["kernel"]).T
     sd[f"{pre}.mlp.c_proj.bias"] = t(b["mlp"]["c_proj"]["bias"])
+
+
+def test_stage_table6a_runs_end_to_end(tmp_path):
+    """The trained-checkpoint Table-6a stage on a synthetic corpus + tiny
+    Orbax checkpoint (limit mode: plumbing only, no README comparison)."""
+    rng = np.random.default_rng(1)
+    root = tmp_path / "media"
+    (root / "vids").mkdir(parents=True)
+    rows = []
+    for i in range(40):
+        rid_str = "cd" + BASE36[(i * 11) % 36] + BASE36[i % 36]
+        rid = int(rid_str, 36)
+        if any(r["reddit_id"] == rid for r in rows):
+            continue
+        rows.append({
+            "reddit_id": rid,
+            "video_path": f"results/vids/{rid_str}.mp4",
+            "title": f"topic {i}",
+            "video_length": 5.0,
+            "comments": str([f"c{i} one", f"c{i} two", f"c{i} three"]),
+        })
+        Image.fromarray(
+            rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
+        ).save(root / "vids" / f"{rid_str}.jpg")
+    csv = tmp_path / "posts.csv"
+    pd.DataFrame(rows).to_csv(csv, index=False)
+
+    from vtc_tpu.models import create_model
+    from vtc_tpu.training.checkpoints import save_checkpoint
+
+    module, variables = create_model(
+        "PretrainedCLIP_finaltf", model_type="test-tiny", seed=3
+    )
+    save_checkpoint(
+        tmp_path, "model_best", arch="PretrainedCLIP_finaltf", epoch=1,
+        params=variables["params"], opt_state=None,
+        config={"arch": {"type": "PretrainedCLIP_finaltf"}},
+    )
+
+    res = vrw.stage_table6a(
+        str(csv), str(root), str(tmp_path / "model_best"),
+        model_type="test-tiny", limit=8, batch_size=4, image_size=32,
+    )
+    assert res["ok"] and res["n"] >= 4
+    for key in ("tvr_r1", "tvr_r5", "tvr_r10", "vtr_r1", "vtr_r5", "vtr_r10"):
+        assert 0.0 <= res[key] <= 100.0
