@@ -117,7 +117,12 @@ def run(batch, iters, warmup, dtype_name, ntoks=16, windows=3):
 def _subprocess_run(expr: str, extra_env=None, timeout=2400) -> float:
     code = BENCH_CODE + f"\nprint('RESULT', {expr})\n"
     env = dict(os.environ)
-    env["PYTHONPATH"] = str(Path(__file__).parent)
+    # APPEND to PYTHONPATH: the axon sitecustomize lives on it — clobbering
+    # would leave JAX_PLATFORMS=axon with no registered plugin
+    env["PYTHONPATH"] = os.pathsep.join(
+        [str(Path(__file__).parent)]
+        + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else [])
+    )
     env.update(extra_env or {})
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, env=env,

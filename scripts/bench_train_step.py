@@ -52,10 +52,18 @@ def main(batch=128, ntoks=16, arch="PretrainedCLIP_finaltf", frames=0,
     )
 
     rng = np.random.default_rng(0)
-    shape = (batch, frames, 3, 224, 224) if frames else (batch, 3, 224, 224)
-    vis = jnp.asarray(rng.normal(size=shape).astype(np.float32)).astype(
-        jnp.bfloat16
-    )
+    if os.environ.get("VTC_BENCH_PATCHES", "0") == "1":
+        from vtc_tpu.data.preprocess import extract_patches
+
+        shape = ((batch, frames) if frames else (batch,)) + (224, 224, 3)
+        vis = jnp.asarray(
+            extract_patches(rng.integers(0, 256, shape, dtype=np.uint8), 32)
+        )
+    else:
+        shape = (batch, frames, 3, 224, 224) if frames else (batch, 3, 224, 224)
+        vis = jnp.asarray(rng.normal(size=shape).astype(np.float32)).astype(
+            jnp.bfloat16
+        )
 
     def make_tokens(lead, n_real=14):
         toks = np.zeros(lead + (ntoks,), np.int32)
@@ -79,16 +87,17 @@ def main(batch=128, ntoks=16, arch="PretrainedCLIP_finaltf", frames=0,
 
     s = run_n(state, vis, title, comments, jnp.int32(warmup))
     float(jnp.sum(s.step).astype(jnp.float32))
-    best = 0.0
-    for _ in range(2):
+    vals = []
+    for _ in range(3):
         tic = time.perf_counter()
         s2 = run_n(s, vis, title, comments, jnp.int32(iters))
         float(jnp.sum(s2.step).astype(jnp.float32))
-        dt = time.perf_counter() - tic
-        best = max(best, batch * iters / dt)
-    ms = batch / best * 1e3
-    print(f"train step: {best:.0f} samples/s ({ms:.1f} ms/step, batch {batch},"
-          f" {ntoks}-token texts, arch {arch})")
+        vals.append(batch * iters / (time.perf_counter() - tic))
+    med = sorted(vals)[len(vals) // 2]
+    ms = batch / med * 1e3
+    print(f"train step: {med:.0f} samples/s median ({ms:.1f} ms/step, "
+          f"windows {[round(v) for v in vals]}, batch {batch}, "
+          f"{ntoks}-token texts, arch {arch})")
 
 
 if __name__ == "__main__":

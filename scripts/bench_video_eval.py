@@ -1,7 +1,9 @@
 """Device throughput of the video eval forward (TimeSformer 8f + CAM).
 
 Same measurement discipline as bench.py (device-side fori_loop, data-
-dependent inputs, host-transfer sync, best of two windows).
+dependent inputs, host-transfer sync, median of three windows). The frames
+ride the uint8 patch fast path by default (``VTC_BENCH_PATCHES=0`` for the
+fp32 NCHW path).
 
 Run: python scripts/bench_video_eval.py [batch] [frames] [ntoks]
 """
@@ -16,7 +18,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def main(batch=32, frames=8, ntoks=16, iters=8, warmup=2):
+def main(batch=32, frames=8, ntoks=16, iters=8, warmup=2, windows=3):
     import jax
     import jax.numpy as jnp
 
@@ -31,9 +33,18 @@ def main(batch=32, frames=8, ntoks=16, iters=8, warmup=2):
     variables["params"] = convert_weights(variables["params"], jnp.bfloat16)
 
     rng = np.random.default_rng(0)
-    vis = jnp.asarray(
-        rng.normal(size=(batch, frames, 3, 224, 224)).astype(np.float32)
-    ).astype(jnp.bfloat16)
+    patches = os.environ.get("VTC_BENCH_PATCHES", "1") == "1"
+    if patches:
+        from vtc_tpu.data.preprocess import extract_patches
+
+        u8 = rng.integers(
+            0, 256, (batch, frames, 224, 224, 3), dtype=np.uint8
+        )
+        vis = jnp.asarray(extract_patches(u8, 32))  # [B, F, 49, 3072] uint8
+    else:
+        vis = jnp.asarray(
+            rng.normal(size=(batch, frames, 3, 224, 224)).astype(np.float32)
+        ).astype(jnp.bfloat16)
 
     def make_tokens(lead, n_real=14):
         toks = np.zeros(lead + (ntoks,), np.int32)
@@ -48,22 +59,24 @@ def main(batch=32, frames=8, ntoks=16, iters=8, warmup=2):
     @jax.jit
     def fwd_n(variables, vis, title, comments, n):
         def body(i, carry):
-            v = vis + carry * 1e-12
+            v = vis + (carry * 1e-12).astype(vis.dtype)  # uint8-safe zero
             eps = (carry * 1e-12).astype(jnp.int32)
             _, _, sim = module.apply(variables, v, title + eps, comments + eps)
-            return jnp.sum(sim).astype(vis.dtype)
+            return jnp.sum(sim).astype(jnp.float32)
 
-        return jax.lax.fori_loop(0, n, body, jnp.zeros((), vis.dtype))
+        return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
 
     float(fwd_n(variables, vis, title, comments, jnp.int32(warmup)))
-    best = 0.0
-    for _ in range(2):
+    vals = []
+    for _ in range(windows):
         tic = time.perf_counter()
         float(fwd_n(variables, vis, title, comments, jnp.int32(iters)))
-        dt = time.perf_counter() - tic
-        best = max(best, batch * iters / dt)
-    print(f"video eval: {best:.0f} clip-pairs/s "
-          f"(batch {batch}, {frames} frames, {ntoks}-token texts)")
+        vals.append(batch * iters / (time.perf_counter() - tic))
+    med = sorted(vals)[len(vals) // 2]
+    print(f"video eval: {med:.0f} clip-pairs/s median "
+          f"(windows {[round(v) for v in vals]}, batch {batch}, "
+          f"{frames} frames, {ntoks}-token texts, "
+          f"{'patches' if patches else 'NCHW'})")
 
 
 if __name__ == "__main__":

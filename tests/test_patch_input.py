@@ -119,3 +119,61 @@ def test_retrieval_dispatch_video_patches(finaltf):
     got = module.apply(variables, jnp.asarray(patches), title, comments)
     for r, g in zip(ref, got):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=2e-4)
+
+
+def test_timesformer_patch_input_matches_video():
+    from vtc_tpu.models import create_model
+
+    module, variables = create_model(
+        "PretrainedCLIP_TimeSformer_finaltf", model_type="test-tiny",
+        nframes=4, seed=11,
+    )
+    u8 = _rand_uint8((2, 4) + (VARIANT.input_resolution,) * 2 + (3,), seed=13)
+    title, comments = _tokens((2,)), _tokens((2, 2))
+    ref = module.apply(
+        variables, jnp.asarray(_normalize_nchw(u8)), title, comments
+    )
+    got = module.apply(
+        variables,
+        jnp.asarray(extract_patches(u8, VARIANT.patch_size)),
+        title,
+        comments,
+    )
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=2e-4)
+
+
+def test_imtext_dataset_patch_images(tmp_path):
+    """ImTextDataset(patch_images=...) ships host-extracted uint8 patches."""
+    import pandas as pd
+    from PIL import Image
+
+    from vtc_tpu.data import ImTextDataset
+
+    root = tmp_path / "media"
+    (root / "vids").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    base36 = "0123456789abcdefghijklmnopqrstuvwxyz"
+    rows = []
+    for i in range(12):
+        rid_str = "zz" + base36[i] + base36[(i * 5) % 36]
+        rows.append({
+            "reddit_id": int(rid_str, 36),
+            "video_path": f"results/vids/{rid_str}.mp4",
+            "title": f"t {i}",
+            "video_length": 3.0,
+            "comments": str(["a", "b", "c"]),
+        })
+        Image.fromarray(
+            rng.integers(0, 255, (40, 52, 3), dtype=np.uint8)
+        ).save(root / "vids" / f"{rid_str}.jpg")
+    csv = tmp_path / "posts.csv"
+    pd.DataFrame(rows).to_csv(csv, index=False)
+
+    ds = ImTextDataset(
+        str(csv), str(root), train=False, test=True, add_comments="never",
+        image_size=32, patch_images=8,
+    )
+    im = ds[0][0]
+    assert im.dtype == np.uint8
+    assert im.shape == ((32 // 8) ** 2, 8 * 8 * 3)

@@ -529,6 +529,7 @@ class ImTextDataset(VisionTitleCommentDatasetBase):
         audio_instead_of_title=False,
         image_size=224,
         uint8_images=False,
+        patch_images=False,
         seed=0,
     ):
         self.train = train
@@ -537,6 +538,14 @@ class ImTextDataset(VisionTitleCommentDatasetBase):
         # ship resized uint8 HWC and normalize on device (4x fewer
         # host->device bytes); the jitted step applies the exact transform
         self.uint8_images = bool(uint8_images)
+        # patch_images: additionally extract the ViT patches on host
+        # ([N, p*p*3] uint8) so the device receives the patch-embed matmul
+        # operand directly — zero device-side layout work (the eval fast
+        # path; see models/clip_model.py and PERFORMANCE.md round 3).
+        # True -> patch 32 (ViT-B/32); an int selects the patch size.
+        self.patch_images = int(patch_images) if patch_images else 0
+        if self.patch_images == 1:
+            self.patch_images = 32
         self.num_comms = int(num_comms)
         self.comment_sampling = comment_sampling if train else None
         self.cached_vision_features = cached_vision_features
@@ -580,7 +589,13 @@ class ImTextDataset(VisionTitleCommentDatasetBase):
             im = Image.open(self.filenames[idx]).convert("RGB")
             if self.use_augmentation and self.train:
                 im = augment_image(im, self.rng)
-            if self.uint8_images:
+            if self.patch_images:
+                from .preprocess import extract_patches
+
+                im = extract_patches(
+                    clip_resize_uint8(im, self.image_size), self.patch_images
+                )
+            elif self.uint8_images:
                 im = clip_resize_uint8(im, self.image_size)
             else:
                 im = clip_preprocess(im, self.image_size)

@@ -87,6 +87,35 @@ def patch_input_dim(variant: "ClipVariant") -> int:
     return 3 * variant.patch_size * variant.patch_size
 
 
+def embed_patches(x, conv1, patch: int, dtype):
+    """Pre-patchified input [..., N, p·p·3] (hwc pixel order, uint8 or
+    normalized float) -> ([..., N, width] embeddings, bias_or_None).
+
+    uint8 pixels get CLIP normalization folded into the conv weights: the
+    per-position-constant bias is returned for the caller to fold into its
+    positional-embedding add (zero extra elementwise passes). Shared by the
+    image tower and the TimeSformer."""
+    from ..data.preprocess import CLIP_MEAN, CLIP_STD
+
+    w = conv1[:, jnp.asarray(hwc_col_perm(patch))]  # [width, pd]
+    patch_bias = None
+    if jnp.issubdtype(x.dtype, jnp.integer):
+        # normalized = u·a + b with a = 1/(255·std), b = -mean/std per
+        # column; fold a into the weight and b@Wᵀ into the bias. uint8
+        # values 0..255 are exact in bf16.
+        std_vec = jnp.asarray(np.tile(CLIP_STD, patch * patch))
+        mean_vec = jnp.asarray(np.tile(CLIP_MEAN, patch * patch))
+        a = 1.0 / (255.0 * std_vec)
+        b = -mean_vec / std_vec
+        patch_bias = b @ w.T  # fp32 [width], loop-invariant
+        w = w * a[None, :]
+    out = jnp.matmul(
+        x.astype(dtype), w.astype(dtype).T,
+        preferred_element_type=jnp.float32,
+    ).astype(dtype)
+    return out, patch_bias
+
+
 class VisionTransformer(nn.Module):
     """CLIP visual tower.
 
@@ -119,25 +148,7 @@ class VisionTransformer(nn.Module):
         if x.ndim == 3:
             # pre-patchified [B, N, p·p·3] in (ph, pw, c) pixel order: permute
             # the loop-invariant WEIGHT columns to match (never the data)
-            from ..data.preprocess import CLIP_MEAN, CLIP_STD
-
-            w = conv1[:, jnp.asarray(hwc_col_perm(patch))]  # [width, pd]
-            if jnp.issubdtype(x.dtype, jnp.integer):
-                # uint8 pixels u: normalized = u·a + b with a = 1/(255·std),
-                # b = -mean/std per column → fold a into the weight columns
-                # and b@Wᵀ into the (per-position-constant) bias. uint8
-                # values 0..255 are exact in bf16, so the matmul operand
-                # needs no correction.
-                std_vec = jnp.asarray(np.tile(CLIP_STD, patch * patch))
-                mean_vec = jnp.asarray(np.tile(CLIP_MEAN, patch * patch))
-                a = 1.0 / (255.0 * std_vec)
-                b = -mean_vec / std_vec
-                patch_bias = b @ w.T  # fp32 [width], loop-invariant
-                w = w * a[None, :]
-            x = jnp.matmul(
-                x.astype(self.dtype), w.astype(self.dtype).T,
-                preferred_element_type=jnp.float32,
-            ).astype(self.dtype)
+            x, patch_bias = embed_patches(x, conv1, patch, self.dtype)
         else:
             x = patchify(x.astype(self.dtype), patch)
             x = jnp.matmul(

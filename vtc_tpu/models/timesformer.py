@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .clip_model import ClipVariant, patchify
+from .clip_model import ClipVariant, embed_patches, patchify
 from .layers import LayerNorm32, MLPBlock, MultiHeadAttention, use_fused_ln
 
 
@@ -102,7 +102,9 @@ class TimeSformerBlock(nn.Module):
 
 
 class TimeSformer(nn.Module):
-    """Drop-in visual tower: [B, F, 3, H, W] -> [B, embed_dim]."""
+    """Drop-in visual tower: video [B, F, 3, H, W] or pre-patchified frames
+    [B, F, N, p·p·3] (the uint8 patch fast path, see
+    ``clip_model.embed_patches``) -> [B, embed_dim]."""
 
     variant: ClipVariant
     nframes: int = 8
@@ -113,16 +115,24 @@ class TimeSformer(nn.Module):
         v = self.variant
         width, patch = v.vision_width, v.patch_size
         scale = width**-0.5
-        B, F, C, H, W = x.shape
 
         conv1 = self.param(
             "conv1", nn.initializers.normal(scale), (width, 3 * patch * patch),
             jnp.float32,
         )
-        xf = patchify(x.reshape(B * F, C, H, W).astype(self.dtype), patch)
-        xf = jnp.matmul(
-            xf, conv1.astype(self.dtype).T, preferred_element_type=jnp.float32
-        ).astype(self.dtype)  # [(b f), n, width]
+        patch_bias = None
+        if x.ndim == 4:  # pre-patchified [B, F, N, pd]
+            B, F = x.shape[0], x.shape[1]
+            xf, patch_bias = embed_patches(
+                x.reshape((B * F,) + x.shape[2:]), conv1, patch, self.dtype
+            )
+        else:
+            B, F, C, H, W = x.shape
+            xf = patchify(x.reshape(B * F, C, H, W).astype(self.dtype), patch)
+            xf = jnp.matmul(
+                xf, conv1.astype(self.dtype).T,
+                preferred_element_type=jnp.float32,
+            ).astype(self.dtype)  # [(b f), n, width]
         n = xf.shape[1]
 
         class_embedding = self.param(
@@ -138,8 +148,12 @@ class TimeSformer(nn.Module):
             jnp.float32,
         )
 
-        # Per-frame positional embedding on the patch tokens
-        xf = xf + positional_embedding[1:].astype(self.dtype)
+        # Per-frame positional embedding on the patch tokens (the uint8
+        # patch path's folded-normalization bias rides the same add)
+        pos_patches = positional_embedding[1:]
+        if patch_bias is not None:
+            pos_patches = pos_patches + patch_bias[None, :]
+        xf = xf + pos_patches.astype(self.dtype)
 
         # CLS token (content-independent at this point, so one per sample):
         # class_embedding + positional_embedding[0]
