@@ -101,10 +101,14 @@ def parse(logdir, iters):
             tot_all = sum(totals.values())
             print(f"\n== line '{line.name}' sum "
                   f"{tot_all / 1e12 / iters * 1e3:.2f} ms/iter")
-            # aggregate by opcode (the token after '=' in HLO text)
+            # aggregate by the HLO instruction's leading name ("%copy.5",
+            # "%convert_reduce_fusion.12", ...) — strip the ordinal; fall
+            # back to the post-'=' opcode for name formats without a '%'
             by_op = {}
             for name, ps in totals.items():
-                m = re.search(r"= (?:\([^)]*\) )?\S*?([a-z][a-z0-9-]*)", name)
+                m = re.match(r"%?([a-zA-Z][\w.-]*?)(?:[._-]?\d+)?(?:\s|=|$)", name)
+                if not m:
+                    m = re.search(r"= (?:\([^)]*\) )?\S*?([a-z][a-z0-9-]*)", name)
                 op = m.group(1) if m else name[:40]
                 t, c = by_op.get(op, (0, 0))
                 by_op[op] = (t + ps, c + counts[name])

@@ -23,7 +23,7 @@ TINY = "test-tiny"
 def test_param_pspec_rules():
     assert param_pspec(
         "clip/visual/transformer/resblocks_0/attn/in_proj_weight"
-    ) == P("model", None)
+    ) == P(None, "model", None)
     assert param_pspec("clip/visual/transformer/resblocks_0/mlp/c_fc/kernel") == P(
         None, "model"
     )
@@ -158,11 +158,12 @@ def test_collective_profile_is_pinned():
     * pure data-parallel must need NO resharding collectives — only
       gradient/loss all-reduces and the contrastive loss's embedding
       all-gathers (in-batch InfoNCE is global by construction);
-    * dp×tp must need NO resharding collectives either: the fused-qkv rows
-      are stored head-major (layers.MultiHeadAttention), so the model-axis
-      row split lands on complete (q,k,v) head groups and the only TP comms
+    * dp×tp must need NO resharding collectives either: the fused qkv is
+      stored [3, E, E] (layers.MultiHeadAttention), so the model-axis row
+      split shards each projection on head boundaries and the only TP comms
       are the Megatron all-reduces. Round 2 pinned a2a=64 / cp=22 from the
-      torch-ordered layout; head-major drove both to zero.
+      flat torch-ordered [3E, E] split; the explicit qkv axis drives both
+      to zero.
     """
     import re
 

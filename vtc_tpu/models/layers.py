@@ -170,14 +170,19 @@ def pick_seq_fold(batch: int, seq: int, max_packed: int = None) -> int:
 class MultiHeadAttention(nn.Module):
     """torch.nn.MultiheadAttention-equivalent with fused qkv projection.
 
-    ``in_proj_weight`` is [3E, E] like torch's, but the ROWS are stored in
-    **head-major** order ``(head, {q,k,v}, dh)`` instead of torch's
-    ``({q,k,v}, head, dh)``: a contiguous row split over the mesh ``model``
-    axis then lands on complete (q,k,v) head groups, so Megatron-style TP
-    needs no all-to-alls to regroup q/k/v across shards (torch's layout put
-    whole q/k/v blocks in different shards). The permutation lives at the
-    torch checkpoint boundary (``torch_import.qkv_from_torch/qkv_to_torch``);
-    inside the framework everything speaks head-major.
+    ``in_proj_weight`` is stored as **[3, E, E]** — torch's fused [3E, E]
+    with the (q,k,v) axis made explicit (a pure reshape at the checkpoint
+    boundary, ``torch_import.qkv_from_torch``). Two wins:
+
+    * tensor parallelism: ``P(None, "model", None)`` row-shards each of
+      q/k/v independently, so the split always lands on complete heads and
+      the compiled dp×tp step needs ZERO resharding collectives (pinned by
+      ``test_parallel``). A flat [3E] row split either crossed q/k/v
+      boundaries (torch order) or required strided activation slicing
+      (head-interleaved order — measured +3 ms/step of relayout copies on
+      v5e, round 3);
+    * extraction: q/k/v are free leading-axis slices of the j-batched
+      projection — no 64-lane activation slicing anywhere.
 
     ``seq_fold``: 1 = plain attention; 0 = auto-pick a batch fold (see
     ``pick_seq_fold``); f>1 = pack f batch rows per attention call behind a
@@ -198,27 +203,45 @@ class MultiHeadAttention(nn.Module):
         in_proj_weight = self.param(
             "in_proj_weight",
             nn.initializers.truncated_normal(0.02, lower=-2.0, upper=2.0),
-            (3 * e, e),
+            (3, e, e),
             jnp.float32,
         )
         in_proj_bias = self.param(
-            "in_proj_bias", nn.initializers.zeros, (3 * e,), jnp.float32
+            "in_proj_bias", nn.initializers.zeros, (3, e), jnp.float32
         )
 
         if ln_params is not None:
-            # fused pre-LN: the block's ln_1 rides the qkv matmul (ln_dense)
+            # fused pre-LN: the block's ln_1 rides the qkv matmul (ln_dense).
+            # Single-chip path: the [3,E,E]->[3E,E] merge is a free reshape
+            # (fused-LN is a single-chip opt-in, off by default)
             ln_scale, ln_bias = ln_params
             qkv = ln_dense(
-                x, ln_scale, ln_bias, in_proj_weight.T, in_proj_bias
+                x, ln_scale, ln_bias,
+                in_proj_weight.reshape(3 * e, e).T,
+                in_proj_bias.reshape(3 * e),
             )
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        elif use_tp_qkv():
+            # tensor-parallel form: three LOCAL dots against the per-j weight
+            # slices — each [E, E] slice is row-sharded on head boundaries by
+            # P(None, "model", None), so no collective touches qkv at all.
+            # Costs two extra HBM reads of x vs the merged GEMM, which is why
+            # it's gated on actually running model-parallel.
+            w = in_proj_weight.astype(self.dtype)
+            b3 = in_proj_bias.astype(self.dtype)
+            q = _dot(x, w[0].T) + b3[0]
+            k = _dot(x, w[1].T) + b3[1]
+            v = _dot(x, w[2].T) + b3[2]
         else:
+            # single-chip/dp default: ONE fused GEMM (x read once); the
+            # [3,E,E]->[3E,E] weight merge is a free reshape and the j-major
+            # output splits into contiguous full-lane slices (the round-2
+            # measured-fast path — j-batched einsum variants force an output
+            # transpose, measured -18% end-to-end on v5e)
             qkv = _dot(
-                x, in_proj_weight.astype(self.dtype).T
-            ) + in_proj_bias.astype(self.dtype)
-        # head-major columns: [..., L, 3E] -> [..., L, H, 3, Dh]; the j-slices
-        # give [..., L, H, Dh] directly in the einsum's heads-trailing layout
-        hm = qkv.reshape(qkv.shape[:-1] + (h, 3, head_dim))
-        q, k, v = hm[..., 0, :], hm[..., 1, :], hm[..., 2, :]
+                x, in_proj_weight.reshape(3 * e, e).astype(self.dtype).T
+            ) + in_proj_bias.reshape(3 * e).astype(self.dtype)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
 
         fold = self.seq_fold
         if fold != 1 and x.ndim == 3:
@@ -229,7 +252,15 @@ class MultiHeadAttention(nn.Module):
                     q, k, v, mask, f, h, head_dim, e
                 )
 
-        q = q * (head_dim**-0.5)
+        def heads(t):  # [..., L, E] -> [..., L, H, Dh]; heads stay trailing —
+            # the einsum below carries H in the batch dims of the dot, so no
+            # materialized [.., H, L, Dh] transpose is ever built (measured
+            # -15% vs the moveaxis formulation at ViT-B/32 shapes on v5e)
+            return t.reshape(t.shape[:-1] + (h, head_dim))
+
+        q = heads(q) * (head_dim**-0.5)
+        k = heads(k)
+        v = heads(v)
 
         # XLA attention. A Pallas fused path was measured extensively on v5e
         # and loses at these short sequence lengths — Mosaic's 64-lane head
@@ -411,6 +442,17 @@ class TorchBatchNorm(nn.Module):
                 ra_var.value = m * ra_var.value + (1 - m) * unbiased
         y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
         return (y * scale + bias).astype(self.dtype)
+
+
+def use_tp_qkv() -> bool:
+    """Model-parallel qkv form (``VTC_TP_QKV=1``): three local per-projection
+    dots instead of the merged [E, 3E] GEMM. Required for zero-resharding
+    tensor parallelism (GSPMD cannot merge the sharded E dim of the
+    [3, E, E] weight into 3E without a gather); costs two extra HBM reads of
+    the activations, so single-chip/dp keeps the merged GEMM. Set
+    automatically by ``parallel.mesh.enable_tp_qkv`` / the multichip
+    dryrun when the mesh has a model axis > 1."""
+    return os.environ.get("VTC_TP_QKV") == "1"
 
 
 def use_remat() -> bool:

@@ -231,8 +231,10 @@ def timesformer_params_from_clip_visual(
             "mlp": blk["mlp"],
             "ln_2": blk["ln_2"],
             "timeattn": {
-                "in_proj_weight": np.asarray(_trunc_normal(k1, (3 * width, width))),
-                "in_proj_bias": np.zeros((3 * width,), np.float32),
+                "in_proj_weight": np.asarray(
+                    _trunc_normal(k1, (3, width, width))
+                ),
+                "in_proj_bias": np.zeros((3, width), np.float32),
                 "out_proj": {
                     "kernel": np.asarray(_trunc_normal(k2, (width, width))),
                     "bias": np.zeros((width,), np.float32),

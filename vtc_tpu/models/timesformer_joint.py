@@ -61,17 +61,29 @@ class _FactorizedAttention(nn.Module):
             out_init = nn.initializers.lecun_normal()
 
         in_proj_weight = self.param(
-            "in_proj_weight", w_init, (3 * e, e), jnp.float32
+            "in_proj_weight", w_init, (3, e, e), jnp.float32
         )
         in_proj_bias = self.param(
-            "in_proj_bias", nn.initializers.zeros, (3 * e,), jnp.float32
+            "in_proj_bias", nn.initializers.zeros, (3, e), jnp.float32
         )
 
-        qkv = jnp.matmul(
-            x, in_proj_weight.astype(self.dtype).T,
-            preferred_element_type=jnp.float32,
-        ).astype(self.dtype) + in_proj_bias.astype(self.dtype)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
+        from .layers import use_tp_qkv
+
+        if use_tp_qkv():
+            w = in_proj_weight.astype(self.dtype)
+            b3 = in_proj_bias.astype(self.dtype)
+            q = jnp.matmul(x, w[0].T, preferred_element_type=jnp.float32
+                           ).astype(self.dtype) + b3[0]
+            k = jnp.matmul(x, w[1].T, preferred_element_type=jnp.float32
+                           ).astype(self.dtype) + b3[1]
+            v = jnp.matmul(x, w[2].T, preferred_element_type=jnp.float32
+                           ).astype(self.dtype) + b3[2]
+        else:
+            qkv = jnp.matmul(
+                x, in_proj_weight.reshape(3 * e, e).astype(self.dtype).T,
+                preferred_element_type=jnp.float32,
+            ).astype(self.dtype) + in_proj_bias.reshape(3 * e).astype(self.dtype)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(z):  # [b, L, e] -> [b*h, L, hd]
             z = z.reshape(b, L, h, head_dim)
@@ -242,8 +254,8 @@ def joint_timesformer_params_from_clip_visual(
             "mlp": blk["mlp"],
             "ln_2": blk["ln_2"],
             "timeattn": {
-                "in_proj_weight": np.zeros((3 * width, width), np.float32),
-                "in_proj_bias": np.zeros((3 * width,), np.float32),
+                "in_proj_weight": np.zeros((3, width, width), np.float32),
+                "in_proj_bias": np.zeros((3, width), np.float32),
                 "out_proj": {
                     "kernel": np.ones((width, width), np.float32),
                     "bias": np.zeros((width,), np.float32),

@@ -17,8 +17,9 @@ Three formats are understood:
 Conventions: flax Dense kernels are torch ``weight.T``; LayerNorm
 ``weight/bias`` -> ``scale/bias``; the patch conv OIHW weight flattens to the
 ``(width, 3*p*p)`` matmul operand used by ``clip_model.patchify``; fused qkv
-rows are re-ordered **head-major** (``qkv_from_torch``) so tensor-parallel
-row splits land on head boundaries (``parallel/mesh.py``).
+tensors gain an explicit leading (q,k,v) axis (``qkv_from_torch`` — a pure
+reshape) so tensor-parallel row splits land on head boundaries
+(``parallel/mesh.py``, ``models/layers.py``).
 """
 
 from __future__ import annotations
@@ -27,40 +28,19 @@ from typing import Dict
 
 import numpy as np
 
-# CLIP-family head counts by width (all shipped variants have head_dim 64
-# except the test-tiny fixture). Used when the caller doesn't pass heads.
-_HEADS_BY_WIDTH = {1024: 16, 768: 12, 512: 8, 64: 4}
 
-
-def heads_for_width(width: int) -> int:
-    return _HEADS_BY_WIDTH.get(width, max(width // 64, 1))
-
-
-def qkv_from_torch(w, heads: int = None):
-    """torch fused-qkv rows ``({q,k,v}, head, dh)`` -> the framework's
-    head-major ``(head, {q,k,v}, dh)`` order. Works on [3E, E] weights and
-    [3E] biases."""
-    e = w.shape[0] // 3
-    h = heads if heads is not None else heads_for_width(e)
-    dh = e // h
-    return np.ascontiguousarray(
-        w.reshape((3, h, dh) + w.shape[1:])
-        .swapaxes(0, 1)
-        .reshape(w.shape)
-    )
-
-
-def qkv_to_torch(w, heads: int = None):
-    """Inverse of :func:`qkv_from_torch` (head-major -> torch layout)."""
+def qkv_from_torch(w):
+    """torch fused-qkv [3E, E] weight / [3E] bias -> the framework's
+    [3, E, E] / [3, E] storage (pure reshape)."""
     w = np.asarray(w)
     e = w.shape[0] // 3
-    h = heads if heads is not None else heads_for_width(e)
-    dh = e // h
-    return np.ascontiguousarray(
-        w.reshape((h, 3, dh) + w.shape[1:])
-        .swapaxes(0, 1)
-        .reshape(w.shape)
-    )
+    return w.reshape((3, e) + w.shape[1:])
+
+
+def qkv_to_torch(w):
+    """Inverse of :func:`qkv_from_torch` ([3, E, ...] -> torch [3E, ...])."""
+    w = np.asarray(w)
+    return w.reshape((w.shape[0] * w.shape[1],) + w.shape[2:])
 
 
 def _np(t):
@@ -77,15 +57,12 @@ def _set(tree: Dict, path: str, value) -> None:
     node[keys[-1]] = value
 
 
-def _import_block(
-    sd, prefix: str, out, out_prefix: str, has_time: bool = False,
-    heads: int = None,
-):
+def _import_block(sd, prefix: str, out, out_prefix: str, has_time: bool = False):
     """One ResidualAttentionBlock: openai naming -> flax tree."""
     _set(out, f"{out_prefix}/attn/in_proj_weight",
-         qkv_from_torch(_np(sd[f"{prefix}.attn.in_proj_weight"]), heads))
+         qkv_from_torch(_np(sd[f"{prefix}.attn.in_proj_weight"])))
     _set(out, f"{out_prefix}/attn/in_proj_bias",
-         qkv_from_torch(_np(sd[f"{prefix}.attn.in_proj_bias"]), heads))
+         qkv_from_torch(_np(sd[f"{prefix}.attn.in_proj_bias"])))
     _set(out, f"{out_prefix}/attn/out_proj/kernel", _np(sd[f"{prefix}.attn.out_proj.weight"]).T)
     _set(out, f"{out_prefix}/attn/out_proj/bias", _np(sd[f"{prefix}.attn.out_proj.bias"]))
     for ln in ("ln_1", "ln_2"):
@@ -96,9 +73,9 @@ def _import_block(
         _set(out, f"{out_prefix}/mlp/{fc}/bias", _np(sd[f"{prefix}.mlp.{fc}.bias"]))
     if has_time:
         _set(out, f"{out_prefix}/timeattn/in_proj_weight",
-             qkv_from_torch(_np(sd[f"{prefix}.timeattn.in_proj_weight"]), heads))
+             qkv_from_torch(_np(sd[f"{prefix}.timeattn.in_proj_weight"])))
         _set(out, f"{out_prefix}/timeattn/in_proj_bias",
-             qkv_from_torch(_np(sd[f"{prefix}.timeattn.in_proj_bias"]), heads))
+             qkv_from_torch(_np(sd[f"{prefix}.timeattn.in_proj_bias"])))
         _set(out, f"{out_prefix}/timeattn/out_proj/kernel", _np(sd[f"{prefix}.timeattn.out_proj.weight"]).T)
         _set(out, f"{out_prefix}/timeattn/out_proj/bias", _np(sd[f"{prefix}.timeattn.out_proj.bias"]))
         _set(out, f"{out_prefix}/ln_time/scale", _np(sd[f"{prefix}.ln_time.weight"]))
@@ -120,7 +97,6 @@ def import_openai_visual(sd, out=None, out_prefix="visual", timesformer=False):
     when present; CLIP-only checkpoints leave them to the caller (weight
     surgery, ``timesformer_clip_alt.py:322-330``)."""
     out = out if out is not None else {}
-    heads = heads_for_width(int(sd["visual.conv1.weight"].shape[0]))
     _set(out, f"{out_prefix}/conv1", _np(sd["visual.conv1.weight"]).reshape(
         sd["visual.conv1.weight"].shape[0], -1))
     _set(out, f"{out_prefix}/class_embedding", _np(sd["visual.class_embedding"]))
@@ -138,7 +114,6 @@ def import_openai_visual(sd, out=None, out_prefix="visual", timesformer=False):
             out,
             f"{out_prefix}/transformer/resblocks_{i}",
             has_time=has_time,
-            heads=heads,
         )
     if timesformer and "visual.temporal_embed" in sd:
         _set(out, f"{out_prefix}/temporal_embed", _np(sd["visual.temporal_embed"]))
@@ -147,7 +122,6 @@ def import_openai_visual(sd, out=None, out_prefix="visual", timesformer=False):
 
 def import_openai_text(sd, out=None, out_prefix="text"):
     out = out if out is not None else {}
-    heads = heads_for_width(int(sd["ln_final.weight"].shape[0]))
     _set(out, f"{out_prefix}/token_embedding", _np(sd["token_embedding.weight"]))
     _set(out, f"{out_prefix}/positional_embedding", _np(sd["positional_embedding"]))
     _set(out, f"{out_prefix}/ln_final/scale", _np(sd["ln_final.weight"]))
@@ -157,7 +131,7 @@ def import_openai_text(sd, out=None, out_prefix="text"):
     for i in range(n):
         _import_block(
             sd, f"transformer.resblocks.{i}", out,
-            f"{out_prefix}/transformer/resblocks_{i}", heads=heads,
+            f"{out_prefix}/transformer/resblocks_{i}",
         )
     return out
 
@@ -183,11 +157,10 @@ def _hf_block(sd, prefix: str, out, out_prefix: str):
     qb = _np(sd[f"{prefix}.self_attn.q_proj.bias"])
     kb = _np(sd[f"{prefix}.self_attn.k_proj.bias"])
     vb = _np(sd[f"{prefix}.self_attn.v_proj.bias"])
-    heads = heads_for_width(q.shape[0])
     _set(out, f"{out_prefix}/attn/in_proj_weight",
-         qkv_from_torch(np.concatenate([q, k, v], 0), heads))
+         qkv_from_torch(np.concatenate([q, k, v], 0)))
     _set(out, f"{out_prefix}/attn/in_proj_bias",
-         qkv_from_torch(np.concatenate([qb, kb, vb], 0), heads))
+         qkv_from_torch(np.concatenate([qb, kb, vb], 0)))
     _set(out, f"{out_prefix}/attn/out_proj/kernel", _np(sd[f"{prefix}.self_attn.out_proj.weight"]).T)
     _set(out, f"{out_prefix}/attn/out_proj/bias", _np(sd[f"{prefix}.self_attn.out_proj.bias"]))
     _set(out, f"{out_prefix}/ln_1/scale", _np(sd[f"{prefix}.layer_norm1.weight"]))
@@ -263,9 +236,7 @@ def _flatten_tsf_visual(visual_tree: Dict) -> Dict:
     return out
 
 
-def import_vtc_state_dict(
-    sd, timesformer: bool = False, cam_heads: int = None
-) -> Dict:
+def import_vtc_state_dict(sd, timesformer: bool = False) -> Dict:
     """Reference model ``state_dict`` (``trainer/base_trainer.py:133``) ->
     {"params": ..., "batch_stats": ...} for the matching vtc_tpu arch.
 
@@ -289,16 +260,10 @@ def import_vtc_state_dict(
     if "final_linear.weight" in sd:
         cam: Dict = {}
         n = _num_blocks(sd, "final_transformer.resblocks")
-        # CAM head count is a config knob (n_heads, default 8); infer from
-        # width only when the caller doesn't know the config
-        if cam_heads is None:
-            cam_heads = heads_for_width(
-                int(_np(sd["final_linear.weight"]).shape[0])
-            )
         for i in range(n):
             _import_block(
                 sd, f"final_transformer.resblocks.{i}", cam,
-                f"final_transformer/resblocks_{i}", heads=cam_heads,
+                f"final_transformer/resblocks_{i}",
             )
         cam["final_linear"] = _np(sd["final_linear.weight"]).T
         cam["mask_embedding"] = _np(sd["mask_embedding"])

@@ -8,10 +8,10 @@ are subsumed by a single ``jax.sharding.Mesh`` with axes ``("data", "model")``:
 * the transformer's large GEMMs shard Megatron-style over ``model`` (qkv /
   mlp-in split by output column, out-proj / mlp-out by input row), which also
   covers the reference's visual-tower-on-its-own-device capability without a
-  pipeline scheduler. The fused qkv rows are stored head-major
-  (``models/layers.py``), so the contiguous row split lands on complete
-  (q,k,v) head groups: the compiled dp×tp step has ZERO resharding
-  collectives (pinned by ``test_parallel.py::test_collective_profile_is_pinned``);
+  pipeline scheduler. The fused qkv is stored [3, E, E]
+  (``models/layers.py``), so the per-projection row split lands on complete
+  head groups: the compiled dp×tp step has ZERO resharding collectives
+  (pinned by ``test_parallel.py::test_collective_profile_is_pinned``);
   requires ``tp`` to divide the head count (12/8 heads -> tp in {2,3,4,6} ok).
 
 Everything is GSPMD: param/batch PartitionSpecs are assigned by path rules
@@ -39,14 +39,22 @@ def create_mesh(
         n_data = len(devices) // n_model
     devices = devices[: n_data * n_model]
     arr = np.array(devices).reshape(n_data, n_model)
+    if n_model > 1:
+        # switch attention to the per-projection qkv dots so the [3, E, E]
+        # sharding stays collective-free (models/layers.py:use_tp_qkv);
+        # read at trace time, so setting it here covers every caller
+        import os
+
+        os.environ["VTC_TP_QKV"] = "1"
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
 # (path regex, PartitionSpec) — first match wins. Paths are '/'-joined.
 _PARAM_RULES = [
-    # fused qkv: shard the 3E output rows over model
-    (re.compile(r".*attn/in_proj_weight$"), P(MODEL_AXIS, None)),
-    (re.compile(r".*attn/in_proj_bias$"), P(MODEL_AXIS)),
+    # fused qkv [3, E, E]: shard each projection's E output rows over model
+    # (always head-aligned when tp divides the head count)
+    (re.compile(r".*attn/in_proj_weight$"), P(None, MODEL_AXIS, None)),
+    (re.compile(r".*attn/in_proj_bias$"), P(None, MODEL_AXIS)),
     # attention output projection: input (head) dim sharded
     (re.compile(r".*attn/out_proj/kernel$"), P(MODEL_AXIS, None)),
     # MLP: in-proj by column, out-proj by row

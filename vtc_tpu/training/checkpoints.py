@@ -91,12 +91,8 @@ def save_checkpoint(
     return path
 
 
-def load_checkpoint(path, cam_heads: int = None) -> dict:
-    """Load either a vtc_tpu Orbax checkpoint or a reference torch .pth.
-
-    ``cam_heads``: the arch config's CAM ``n_heads`` (only needed for .pth
-    imports of models whose CAM width/head combination differs from the
-    CLIP-family default inference — see ``torch_import.heads_for_width``)."""
+def load_checkpoint(path) -> dict:
+    """Load either a vtc_tpu Orbax checkpoint or a reference torch .pth."""
     path = Path(path)
     if path.suffix in (".pth", ".pt", ".tar"):
         from ..models.torch_import import import_vtc_state_dict, load_torch_file
@@ -104,9 +100,7 @@ def load_checkpoint(path, cam_heads: int = None) -> dict:
         obj = load_torch_file(path)
         sd = obj.get("state_dict", obj)
         timesformer = any("timeattn" in k for k in sd)
-        imported = import_vtc_state_dict(
-            sd, timesformer=timesformer, cam_heads=cam_heads
-        )
+        imported = import_vtc_state_dict(sd, timesformer=timesformer)
         out = {
             "arch": obj.get("arch"),
             "epoch": obj.get("epoch", 0),
