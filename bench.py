@@ -152,8 +152,11 @@ def _measure_cpu() -> float:
 def main():
     # fixed-harness batch sweep history in PERFORMANCE.md; 160 is the benched
     # optimum on v5e for ViT-B/32 + 5 comments
+    # iters=96 amortizes the ~33 ms fixed window-sync overhead of the dev
+    # tunnel (sweep: 16 -> 6309, 32 -> 6529, 48 -> 6686, 96 -> 6730 pairs/s
+    # at identical device time; PERFORMANCE.md round 3)
     batch = int(os.environ.get("BENCH_BATCH", 160))
-    iters = int(os.environ.get("BENCH_ITERS", 16))
+    iters = int(os.environ.get("BENCH_ITERS", 96))
 
     ns = {}
     exec(BENCH_CODE, ns)

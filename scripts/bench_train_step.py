@@ -87,6 +87,20 @@ def main(batch=128, ntoks=16, arch="PretrainedCLIP_finaltf", frames=0,
 
     s = run_n(state, vis, title, comments, jnp.int32(warmup))
     float(jnp.sum(s.step).astype(jnp.float32))
+
+    if os.environ.get("VTC_TRACE") == "1":
+        # capture one timed window as a device trace and aggregate it with
+        # profile_trace's xplane parser (op-level ms/step receipts)
+        import profile_trace
+
+        logdir = "/tmp/vtc_train_trace"
+        os.system(f"rm -rf {logdir}")
+        with jax.profiler.trace(logdir):
+            s2 = run_n(s, vis, title, comments, jnp.int32(iters))
+            float(jnp.sum(s2.step).astype(jnp.float32))
+        profile_trace.parse(logdir, iters)
+        return
+
     vals = []
     for _ in range(3):
         tic = time.perf_counter()
@@ -105,4 +119,6 @@ if __name__ == "__main__":
     ntoks = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     arch = sys.argv[3] if len(sys.argv) > 3 else "PretrainedCLIP_finaltf"
     frames = int(sys.argv[4]) if len(sys.argv) > 4 else 0
-    main(batch, ntoks, arch, frames)
+    iters = int(sys.argv[5]) if len(sys.argv) > 5 else 8
+    warmup = int(sys.argv[6]) if len(sys.argv) > 6 else 2
+    main(batch, ntoks, arch, frames, iters=iters, warmup=warmup)

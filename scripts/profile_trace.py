@@ -114,6 +114,20 @@ def parse(logdir, iters):
                 by_op[op] = (t + ps, c + counts[name])
             for op, (ps, c) in sorted(by_op.items(), key=lambda kv: -kv[1][0])[:25]:
                 print(f"{ps / 1e12 / iters * 1e6:10.1f} us/iter  x{c:<6} {op}")
+            # VTC_TRACE_RAW=<prefix>: top individual (un-aggregated) ops
+            # whose name starts with the prefix — for identifying what a
+            # fat aggregate (e.g. `copy`) actually is
+            raw = os.environ.get("VTC_TRACE_RAW")
+            if raw:
+                print(f"\n-- raw ops matching '{raw}':")
+                sel = [
+                    (ps, counts[name], name)
+                    for name, ps in totals.items()
+                    if name.lstrip("%").startswith(raw)
+                ]
+                for ps, c, name in sorted(sel, reverse=True)[:30]:
+                    print(f"{ps / 1e12 / iters * 1e6:10.1f} us/iter  x{c:<6} "
+                          f"{name[:140]}")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,131 @@
+"""First-party libav decode worker (native/vtc_decode.cpp): builds, probes,
+and matches the OpenCV fallback path frame-for-frame.
+
+The two backends decode the same bitstream with the same upstream decoder
+(OpenCV bundles ffmpeg), so frame *selection* must match exactly and pixels
+must match up to colorspace/resize arithmetic differences (swscale SWS_AREA
+vs cv2 INTER_AREA on already-converted BGR)."""
+
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from vtc_tpu.data import native
+from vtc_tpu.data.video import (
+    read_segment_with_fallbacks,
+    read_video_full,
+    read_video_segment,
+    video_duration_sec,
+)
+
+
+@pytest.fixture(scope="module")
+def video(tmp_path_factory):
+    """Synthetic 6 s, 30 fps, 96x64 clip with a frame-index gradient so
+    frame identity is recoverable from pixel content."""
+    path = str(tmp_path_factory.mktemp("vids") / "clip.mp4")
+    w, h, fps, n = 96, 64, 30, 180
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        frame = np.full((h, w, 3), int(i * 255 / n), np.uint8)
+        frame[:16] = rng.integers(0, 255, (16, w, 3), dtype=np.uint8)
+        vw.write(frame)
+    vw.release()
+    return path, w, h, fps, n
+
+
+def _force(backend):
+    os.environ["VTC_DECODE"] = backend
+
+
+@pytest.fixture(autouse=True)
+def _restore_backend():
+    yield
+    os.environ.pop("VTC_DECODE", None)
+
+
+def test_decode_lib_builds():
+    assert native.decode_available(), "g++/libav build of libvtc_decode.so failed"
+
+
+def test_probe(video):
+    path, w, h, fps, n = video
+    info = native.probe_video(path)
+    assert info is not None
+    pw, ph, pfps, dur, nbf = info
+    assert (pw, ph) == (w, h)
+    assert abs(pfps - fps) < 0.5
+    assert abs(dur - n / fps) < 0.5
+    assert nbf in (0, n)
+
+
+def test_full_decode_matches_cv2(video):
+    path, w, h, fps, n = video
+    _force("native")
+    nat = read_video_full(path)
+    _force("cv2")
+    ref = read_video_full(path)
+    assert nat.shape == ref.shape == (n, h, w, 3)
+    # same decoder lineage; only the YUV->RGB arithmetic may differ
+    assert np.abs(nat.astype(np.int16) - ref.astype(np.int16)).mean() < 2.0
+
+
+def test_segment_subsample_selection_matches_cv2(video):
+    path, w, h, fps, n = video
+    kwargs = dict(
+        start_sec=1.0, end_sec=4.0, resize_height=48, subsample_to=8
+    )
+    _force("native")
+    nat = read_video_segment(path, **kwargs)
+    _force("cv2")
+    ref = read_video_segment(path, **kwargs)
+    assert nat.shape == ref.shape == (8, 48, 72, 3)
+    # selection parity: the gradient band encodes the frame index; the
+    # selected frames must be the same ones (resize arithmetic differs, so
+    # compare the per-frame gradient level, which survives any resampler)
+    lvl_nat = nat[:, 32:, :, :].mean(axis=(1, 2, 3))
+    lvl_ref = ref[:, 32:, :, :].mean(axis=(1, 2, 3))
+    assert np.abs(lvl_nat - lvl_ref).max() < 3.0
+    # resampler-arithmetic bound only (SWS_AREA on YUV vs INTER_AREA on
+    # BGR over the random-noise band); selection correctness is the level
+    # check above
+    assert np.abs(nat.astype(np.int16) - ref.astype(np.int16)).mean() < 16.0
+
+
+def test_segment_max_frames(video):
+    path, w, h, fps, n = video
+    _force("native")
+    out = read_video_segment(path, max_frames=5)
+    assert out.shape == (5, h, w, 3)
+
+
+def test_duration(video):
+    path, w, h, fps, n = video
+    _force("native")
+    d_nat = video_duration_sec(path)
+    _force("cv2")
+    d_ref = video_duration_sec(path)
+    assert abs(d_nat - d_ref) < 0.2
+
+
+def test_fallbacks_reader_native(video):
+    path, w, h, fps, n = video
+    _force("native")
+    vid = read_segment_with_fallbacks(
+        path, video_length=n / fps, nframes=8, train=False, is_reddit=False,
+        resize_height=48, rng=np.random.default_rng(0),
+    )
+    assert vid.shape == (8, 48, 72, 3)
+    assert vid.any()
+
+
+def test_native_forced_on_garbage_returns_empty(tmp_path):
+    bad = tmp_path / "bad.mp4"
+    bad.write_bytes(b"not a video")
+    _force("native")
+    out = read_video_segment(str(bad), subsample_to=8)
+    assert out.shape[0] == 0

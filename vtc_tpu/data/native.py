@@ -20,16 +20,20 @@ import numpy as np
 NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
 SRC = NATIVE_DIR / "vtc_preproc.cpp"
 SO = NATIVE_DIR / "libvtc_preproc.so"
+DECODE_SRC = NATIVE_DIR / "vtc_decode.cpp"
+DECODE_SO = NATIVE_DIR / "libvtc_decode.so"
 
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
+_decode_lib: Optional[ctypes.CDLL] = None
+_decode_tried = False
 
 
-def _build() -> bool:
+def _build(src: Path, so: Path, extra_flags=()) -> bool:
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC",
-        "-o", str(SO), str(SRC), "-lpthread",
+        "-o", str(so), str(src), "-lpthread", *extra_flags,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)
@@ -38,9 +42,29 @@ def _build() -> bool:
         import logging
 
         logging.getLogger(__name__).warning(
-            "native preproc build failed (%s); using the PIL path", e
+            "native build of %s failed (%s); using the fallback path",
+            src.name, e,
         )
         return False
+
+
+def _load(src: Path, so: Path, extra_flags=()) -> Optional[ctypes.CDLL]:
+    # a prebuilt .so without the .cpp source is usable as-is (deployed
+    # artifact); only rebuild when the source exists and is newer
+    stale = src.exists() and (
+        not so.exists() or so.stat().st_mtime < src.stat().st_mtime
+    )
+    if stale and not _build(src, so, extra_flags):
+        return None
+    if not so.exists():
+        return None
+    try:
+        return ctypes.CDLL(str(so))
+    except OSError as e:  # missing runtime dep (e.g. libav .so at load)
+        import logging
+
+        logging.getLogger(__name__).warning("cannot load %s (%s)", so.name, e)
+        return None
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
@@ -49,16 +73,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        # a prebuilt .so without the .cpp source is usable as-is (deployed
-        # artifact); only rebuild when the source exists and is newer
-        stale = SRC.exists() and (
-            not SO.exists() or SO.stat().st_mtime < SRC.stat().st_mtime
-        )
-        if stale and not _build():
+        lib = _load(SRC, SO)
+        if lib is None:
             return None
-        if not SO.exists():
-            return None
-        lib = ctypes.CDLL(str(SO))
         u8p = ctypes.POINTER(ctypes.c_uint8)
         f32p = ctypes.POINTER(ctypes.c_float)
         lib.vtc_clip_preprocess_batch.argtypes = [
@@ -71,6 +88,99 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ]
         _lib = lib
         return _lib
+
+
+def get_decode_lib() -> Optional[ctypes.CDLL]:
+    """The first-party libav decode worker (``native/vtc_decode.cpp``).
+
+    Links against the system libav (-lavformat -lavcodec -lavutil
+    -lswscale); returns None when the toolchain or libav is unavailable —
+    callers fall back to the OpenCV path.
+    """
+    global _decode_lib, _decode_tried
+    with _lock:
+        if _decode_lib is not None or _decode_tried:
+            return _decode_lib
+        _decode_tried = True
+        lib = _load(
+            DECODE_SRC, DECODE_SO,
+            ("-lavformat", "-lavcodec", "-lavutil", "-lswscale"),
+        )
+        if lib is None:
+            return None
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.vtc_probe.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.vtc_probe.restype = ctypes.c_int
+        lib.vtc_decode_segment.argtypes = [
+            ctypes.c_char_p, ctypes.c_double, ctypes.c_double,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, u8p, ctypes.c_int,
+        ]
+        lib.vtc_decode_segment.restype = ctypes.c_int
+        _decode_lib = lib
+        return _decode_lib
+
+
+def decode_available() -> bool:
+    return get_decode_lib() is not None
+
+
+def probe_video(path: str):
+    """(width, height, fps, duration_sec, nb_frames) or None on failure."""
+    lib = get_decode_lib()
+    if lib is None:
+        return None
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    fps = ctypes.c_double()
+    dur = ctypes.c_double()
+    nbf = ctypes.c_int64()
+    rc = lib.vtc_probe(
+        str(path).encode(), ctypes.byref(w), ctypes.byref(h),
+        ctypes.byref(fps), ctypes.byref(dur), ctypes.byref(nbf),
+    )
+    if rc != 0:
+        return None
+    return w.value, h.value, fps.value, dur.value, nbf.value
+
+
+def decode_segment(
+    path: str,
+    start_sec: float,
+    end_sec: Optional[float],
+    out_w: int,
+    out_h: int,
+    subsample_to: Optional[int] = None,
+    max_frames: Optional[int] = None,
+    cap_frames: Optional[int] = None,
+    num_threads: Optional[int] = None,
+) -> Optional[np.ndarray]:
+    """Native segment decode -> uint8 [t, out_h, out_w, 3] RGB, or None on
+    any failure (caller falls back to OpenCV). ``cap_frames`` bounds the
+    output allocation when neither ``subsample_to`` nor ``max_frames`` is
+    given (the caller estimates it from the probe)."""
+    lib = get_decode_lib()
+    if lib is None:
+        return None
+    cap = subsample_to or max_frames or cap_frames
+    if not cap or cap <= 0:
+        return None
+    out = np.empty((cap, out_h, out_w, 3), np.uint8)
+    nthreads = num_threads or min(4, len(os.sched_getaffinity(0)) or 1)
+    n = lib.vtc_decode_segment(
+        str(path).encode(), float(start_sec),
+        -1.0 if end_sec is None else float(end_sec),
+        out_w, out_h, subsample_to or 0, max_frames or 0, nthreads,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+    )
+    if n <= 0:
+        return None
+    return out[:n]
 
 
 def native_available() -> bool:

@@ -1,16 +1,23 @@
 """Host-side video decoding.
 
 The reference decodes through a custom-built torchvision/ffmpeg private API
-with ffmpeg-side resize (``dataset_loaders.py:405-424``); ffmpeg/libav dev
-headers are not available in this image, so decode goes through OpenCV's
-bundled ffmpeg (``cv2.VideoCapture``) with the same semantics: seek to a
-segment, decode, resize (height-preserving-AR), RGB output, zero-frame
-fallbacks. The native C++ preprocessing stage (resize/normalize) lives in
-``native/`` and is used downstream of decode.
+with ffmpeg-side resize and segment seek (``dataset_loaders.py:405-424``).
+The first-party equivalent is the native libav worker
+(``native/vtc_decode.cpp``, bound in ``native.py``): avformat keyframe seek
+to the segment start, decode to native YUV, and swscale convert/resize of
+ONLY the linspace-selected frames — the per-frame YUV→RGB conversion that
+``cv2.VideoCapture.read`` forces on every decoded frame is the biggest
+avoidable share of the decode wall (receipts: PERFORMANCE.md, video host
+pipeline). OpenCV's bundled ffmpeg remains the fallback with identical
+frame-selection semantics (``VTC_DECODE=cv2`` forces it). The native C++
+preprocessing stage (resize/normalize) lives in ``native/vtc_preproc.cpp``
+and is used downstream of decode.
 """
 
 from __future__ import annotations
 
+import logging
+import os
 from typing import Optional, Tuple
 
 import numpy as np
@@ -21,6 +28,8 @@ try:
     _HAS_CV2 = True
 except ImportError:  # pragma: no cover
     _HAS_CV2 = False
+
+logger = logging.getLogger(__name__)
 
 FALLBACK_SHAPE = (8, 300, 300, 3)
 
@@ -34,6 +43,44 @@ def _resize_dims(w: int, h: int, target_w: int, target_h: int) -> Tuple[int, int
     if target_h == 0:
         return target_w, max(1, round(h * target_w / w))
     return target_w, target_h
+
+
+def _read_segment_native(
+    path: str,
+    start_sec: float,
+    end_sec: Optional[float],
+    resize_width: int,
+    resize_height: int,
+    max_frames: Optional[int],
+    subsample_to: Optional[int],
+) -> Optional[np.ndarray]:
+    """libav decode via native/vtc_decode.cpp; None -> use the cv2 path."""
+    from . import native
+
+    info = native.probe_video(path)
+    if info is None:
+        return None
+    w, h, fps, duration, _ = info
+    if w <= 0 or h <= 0:
+        return None
+    nw, nh = _resize_dims(w, h, resize_width, resize_height)
+    cap = None
+    if subsample_to is None and max_frames is None:
+        # unbounded decode (read_video_full): size the buffer from stream
+        # metadata, growing on the rare VFR/bad-metadata miss
+        span = duration if end_sec is None else min(duration, end_sec) - start_sec
+        cap = max(64, int((fps or 30.0) * max(span, 1.0) * 1.15) + 16)
+    for _ in range(3):
+        out = native.decode_segment(
+            path, start_sec, end_sec, nw, nh,
+            subsample_to=subsample_to, max_frames=max_frames, cap_frames=cap,
+        )
+        if out is None:
+            return None
+        if cap is None or len(out) < cap:
+            return out
+        cap *= 2  # buffer filled to the brim: frames may be truncated
+    return out
 
 
 def read_video_segment(
@@ -54,7 +101,21 @@ def read_video_segment(
     frames — the segment reader keeps 8 of up to 256 decoded frames, and
     per-frame resize of the discarded ones dominated the host pipeline
     (measured 1.5 s/item -> see scripts/bench_video_pipeline.py).
+
+    Decode backend: the native libav worker when built (see module
+    docstring), else OpenCV. ``VTC_DECODE=cv2`` / ``VTC_DECODE=native``
+    force a backend.
     """
+    backend = os.environ.get("VTC_DECODE", "auto")
+    if backend != "cv2":
+        out = _read_segment_native(
+            path, start_sec, end_sec, resize_width, resize_height,
+            max_frames, subsample_to,
+        )
+        if out is not None:
+            return out
+        if backend == "native":
+            return np.zeros((0,) + FALLBACK_SHAPE[1:], np.uint8)
     if not _HAS_CV2:
         return np.zeros((0,) + FALLBACK_SHAPE[1:], np.uint8)
     cap = cv2.VideoCapture(str(path))
@@ -109,6 +170,18 @@ def read_video_full(path: str) -> np.ndarray:
 
 
 def video_duration_sec(path: str) -> float:
+    if os.environ.get("VTC_DECODE", "auto") != "cv2":
+        from . import native
+
+        info = native.probe_video(path)
+        if info is not None:
+            _, _, fps, duration, nb_frames = info
+            # prefer the frame-count-derived duration (matches the cv2
+            # FRAME_COUNT/FPS computation); container duration otherwise
+            if nb_frames > 0 and fps > 0:
+                return float(nb_frames / fps)
+            if duration > 0:
+                return float(duration)
     if not _HAS_CV2:
         return 0.0
     cap = cv2.VideoCapture(str(path))
@@ -167,13 +240,13 @@ def read_segment_with_fallbacks(
         subsample_to=nframes,
     )
     if vid.shape[0] == 0:
-        print("Zero len vid, trying fallback", path)
+        logger.warning("zero-length segment, retrying [0, 5]s: %s", path)
         vid = read_video_segment(
             path, 0, 5, resize_width=resize_width, resize_height=resize_height,
             subsample_to=nframes,
         )
     if vid.shape[0] == 0:
-        print("Fallback failed", path)
+        logger.warning("decode fallback failed, emitting black frames: %s", path)
         vid = np.zeros(FALLBACK_SHAPE, np.uint8)
 
     return linspace_subsample(vid, nframes)
