@@ -18,7 +18,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def main(batch=32, frames=8, ntoks=16, iters=8, warmup=2, windows=3):
+def main(batch=32, frames=8, ntoks=16, iters=32, warmup=2, windows=3):
     import jax
     import jax.numpy as jnp
 
@@ -67,6 +67,18 @@ def main(batch=32, frames=8, ntoks=16, iters=8, warmup=2, windows=3):
         return jax.lax.fori_loop(0, n, body, jnp.zeros((), jnp.float32))
 
     float(fwd_n(variables, vis, title, comments, jnp.int32(warmup)))
+
+    if os.environ.get("VTC_TRACE") == "1":
+        # op-level receipts for one timed window (see profile_trace.py)
+        import profile_trace
+
+        logdir = "/tmp/vtc_video_trace"
+        os.system(f"rm -rf {logdir}")
+        with jax.profiler.trace(logdir):
+            float(fwd_n(variables, vis, title, comments, jnp.int32(iters)))
+        profile_trace.parse(logdir, iters)
+        return
+
     vals = []
     for _ in range(windows):
         tic = time.perf_counter()
