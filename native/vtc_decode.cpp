@@ -14,6 +14,20 @@
 //     large share of the "raw decode" wall (PERFORMANCE.md, video host
 //     pipeline).
 //
+// Segment endpoints are ABSOLUTE stream pts, matching the reference's
+// torchvision reader (`_read_video_from_file(video_pts_range=...)`) — the
+// reference compensates container start offsets in dataset code (the
+// reddit 1.4 s case, dataset_loaders.py:362-372), so this worker must NOT
+// re-base to start_time. The Python caller aligns the OpenCV fallback
+// (whose CAP_PROP_POS_MSEC is start_time-relative) using the probed
+// start_time (vtc_tpu/data/video.py).
+//
+// The handle API (vtc_open / vtc_handle_*) demuxes+initializes the codec
+// ONCE per file; info queries and repeated segment decodes reuse it —
+// the host pipeline here is explicitly single-core, so per-item
+// avformat_open_input/find_stream_info/codec-init duplication is pure
+// decode-wall overhead.
+//
 // Exposed through ctypes (vtc_tpu/data/native.py); the Python segment
 // reader (vtc_tpu/data/video.py) keeps identical frame-selection semantics
 // across this and the OpenCV fallback.
@@ -31,6 +45,7 @@ extern "C" {
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <new>
 #include <vector>
 
 namespace {
@@ -38,20 +53,25 @@ namespace {
 struct Demux {
   AVFormatContext* fmt = nullptr;
   AVCodecContext* dec = nullptr;
+  SwsContext* sws = nullptr;
   int stream = -1;
+  bool dirty = false;  // a decode ran: the next one must seek+flush
 
   ~Demux() {
+    if (sws) sws_freeContext(sws);
     if (dec) avcodec_free_context(&dec);
     if (fmt) avformat_close_input(&fmt);
   }
 
-  // 0 on success, negative on failure.
-  int open(const char* path, int threads) {
+  // 0 on success, negative on failure. with_codec=false stops after
+  // stream discovery (metadata-only probes never pay codec init).
+  int open(const char* path, int threads, bool with_codec) {
     if (avformat_open_input(&fmt, path, nullptr, nullptr) < 0) return -1;
     if (avformat_find_stream_info(fmt, nullptr) < 0) return -2;
     const AVCodec* codec = nullptr;
     stream = av_find_best_stream(fmt, AVMEDIA_TYPE_VIDEO, -1, -1, &codec, 0);
     if (stream < 0 || !codec) return -3;
+    if (!with_codec) return 0;
     dec = avcodec_alloc_context3(codec);
     if (!dec) return -4;
     if (avcodec_parameters_to_context(dec, fmt->streams[stream]->codecpar) < 0)
@@ -66,6 +86,24 @@ struct Demux {
     if (ts == AV_NOPTS_VALUE) ts = frame->pts;
     if (ts == AV_NOPTS_VALUE) return -1.0;
     return ts * av_q2d(fmt->streams[stream]->time_base);
+  }
+
+  void info(int* width, int* height, double* fps, double* duration_sec,
+            int64_t* nb_frames, double* start_sec) const {
+    AVStream* st = fmt->streams[stream];
+    *width = st->codecpar->width;
+    *height = st->codecpar->height;
+    AVRational fr = av_guess_frame_rate(fmt, st, nullptr);
+    *fps = fr.num > 0 && fr.den > 0 ? av_q2d(fr) : 0.0;
+    *duration_sec =
+        fmt->duration != AV_NOPTS_VALUE ? fmt->duration / 1e6 : 0.0;
+    *nb_frames = st->nb_frames;  // 0 when the container doesn't record it
+    if (st->start_time != AV_NOPTS_VALUE)
+      *start_sec = st->start_time * av_q2d(st->time_base);
+    else if (fmt->start_time != AV_NOPTS_VALUE)
+      *start_sec = fmt->start_time / 1e6;
+    else
+      *start_sec = 0.0;
   }
 };
 
@@ -84,56 +122,27 @@ int convert_frame(SwsContext*& sws, const AVFrame* frame, uint8_t* dst,
   return 0;
 }
 
-}  // namespace
-
-extern "C" {
-
-// Stream metadata without decoding. Returns 0 on success.
-int vtc_probe(const char* path, int* width, int* height, double* fps,
-              double* duration_sec, int64_t* nb_frames) {
-  Demux d;
-  int rc = d.open(path, 1);
-  if (rc < 0) return rc;
-  AVStream* st = d.fmt->streams[d.stream];
-  *width = st->codecpar->width;
-  *height = st->codecpar->height;
-  AVRational fr = av_guess_frame_rate(d.fmt, st, nullptr);
-  *fps = fr.num > 0 && fr.den > 0 ? av_q2d(fr) : 0.0;
-  *duration_sec =
-      d.fmt->duration != AV_NOPTS_VALUE ? d.fmt->duration / 1e6 : 0.0;
-  *nb_frames = st->nb_frames;  // 0 when the container doesn't record it
-  return 0;
-}
-
-// Decode the segment [start_sec, end_sec] of the first video stream into
-// packed RGB24 frames of (out_w, out_h).
-//
-//   end_sec < 0      : no end limit (decode to EOF)
-//   subsample_to > 0 : floor-linspace select that many frames over the
-//                      decoded segment (identical selection to decoding all
-//                      then indexing); only the selected frames are
-//                      colorspace-converted/resized
-//   max_frames > 0   : stop decoding after that many in-range frames
-//   cap_frames       : capacity of `out` in frames (hard output bound)
-//
-// Returns the number of frames written to `out`, or negative on error.
-int vtc_decode_segment(const char* path, double start_sec, double end_sec,
-                       int out_w, int out_h, int subsample_to, int max_frames,
-                       int threads, uint8_t* out, int cap_frames) {
-  if (out_w <= 0 || out_h <= 0 || cap_frames <= 0) return -100;
-  Demux d;
-  int rc = d.open(path, threads);
-  if (rc < 0) return rc;
+// Decode [start_sec, end_sec] (absolute pts) on an open handle. Returns the
+// number of frames written to `out`, or negative on error. Repeatable: the
+// demuxer is re-seeked and the decoder flushed between calls.
+int decode_on(Demux& d, double start_sec, double end_sec, int out_w,
+              int out_h, int subsample_to, int max_frames, uint8_t* out,
+              int cap_frames) {
+  if (out_w <= 0 || out_h <= 0 || cap_frames <= 0 || !d.dec) return -100;
   AVStream* st = d.fmt->streams[d.stream];
 
-  if (start_sec > 0) {
+  if (start_sec > 0 || d.dirty) {
     int64_t ts = static_cast<int64_t>(start_sec / av_q2d(st->time_base));
     // land on the keyframe at-or-before start; in-range filtering below
-    // drops the lead-in frames (same semantics as the OpenCV MSEC seek)
-    if (av_seek_frame(d.fmt, d.stream, ts, AVSEEK_FLAG_BACKWARD) < 0) {
-      // unseekable container: decode from the top, filter by pts
-    }
+    // drops the lead-in frames. An unseekable container on a fresh handle
+    // just decodes from the top (filtering still applies); on a reused
+    // handle it is a hard error — the stream position is undefined.
+    if (av_seek_frame(d.fmt, d.stream, ts, AVSEEK_FLAG_BACKWARD) < 0 &&
+        d.dirty)
+      return -9;
+    avcodec_flush_buffers(d.dec);
   }
+  d.dirty = true;
 
   const size_t frame_bytes = static_cast<size_t>(out_w) * out_h * 3;
   // subsample path: hold refs to the native YUV frames, convert after
@@ -150,10 +159,9 @@ int vtc_decode_segment(const char* path, double start_sec, double end_sec,
   int n_written = 0;                    // frames in `out` (direct path)
   bool done = false;
 
-  SwsContext* sws = nullptr;
   AVPacket* pkt = av_packet_alloc();
   AVFrame* frame = av_frame_alloc();
-  int err = 0;
+  int err = (!pkt || !frame) ? -8 : 0;
 
   auto handle_frame = [&](AVFrame* f) {
     double pts = d.pts_seconds(f);
@@ -165,16 +173,22 @@ int vtc_decode_segment(const char* path, double start_sec, double end_sec,
     ++n_inrange;
     if (subsample_to > 0) {
       if (buffer_refs) {
-        kept.push_back(av_frame_clone(f));
+        AVFrame* ref = av_frame_clone(f);
+        if (!ref) {
+          err = -8;  // allocation failure under memory pressure
+          return;
+        }
+        kept.push_back(ref);
       } else {
         staged.resize(staged.size() + frame_bytes);
-        if (convert_frame(sws, f, staged.data() + staged.size() - frame_bytes,
-                          out_w, out_h) < 0)
+        if (convert_frame(d.sws, f,
+                          staged.data() + staged.size() - frame_bytes, out_w,
+                          out_h) < 0)
           err = -7;
       }
     } else {
       if (n_written < cap_frames) {
-        if (convert_frame(sws, f, out + n_written * frame_bytes, out_w,
+        if (convert_frame(d.sws, f, out + n_written * frame_bytes, out_w,
                           out_h) < 0)
           err = -7;
         else
@@ -206,15 +220,18 @@ int vtc_decode_segment(const char* path, double start_sec, double end_sec,
                              : static_cast<int>(staged.size() / frame_bytes);
     int nout = subsample_to < cap_frames ? subsample_to : cap_frames;
     // floor-linspace, mirroring np.linspace's arithmetic exactly
-    // (precomputed step, endpoint forced) — must match
-    // video.py:linspace_subsample index-for-index
+    // (precomputed step; endpoint forced only when nout > 1 —
+    // np.linspace(0, n-1, 1) is [0., ...] so nout==1 selects the FIRST
+    // frame) — must match video.py:linspace_subsample index-for-index
     double step =
         nout > 1 ? static_cast<double>(navail - 1) / (nout - 1) : 0.0;
     for (int i = 0; i < nout && err == 0; ++i) {
-      double x = i == nout - 1 ? static_cast<double>(navail - 1) : i * step;
+      double x = (nout > 1 && i == nout - 1)
+                     ? static_cast<double>(navail - 1)
+                     : i * step;
       int idx = static_cast<int>(std::floor(x));
       if (buffer_refs) {
-        if (convert_frame(sws, kept[idx], out + i * frame_bytes, out_w,
+        if (convert_frame(d.sws, kept[idx], out + i * frame_bytes, out_w,
                           out_h) < 0)
           err = -7;
       } else {
@@ -228,8 +245,77 @@ int vtc_decode_segment(const char* path, double start_sec, double end_sec,
   for (AVFrame* f : kept) av_frame_free(&f);
   av_frame_free(&frame);
   av_packet_free(&pkt);
-  if (sws) sws_freeContext(sws);
   return err < 0 ? err : n_written;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Stream metadata without opening (or paying for) a decoder.
+// start_sec reports the container/stream start offset in seconds — the
+// OpenCV fallback needs it to convert absolute segment endpoints to its
+// start_time-relative CAP_PROP_POS_MSEC domain. Returns 0 on success.
+int vtc_probe(const char* path, int* width, int* height, double* fps,
+              double* duration_sec, int64_t* nb_frames, double* start_sec) {
+  Demux d;
+  int rc = d.open(path, 1, /*with_codec=*/false);
+  if (rc < 0) return rc;
+  d.info(width, height, fps, duration_sec, nb_frames, start_sec);
+  return 0;
+}
+
+// Open a decode handle (demuxer + codec, initialized once). NULL on failure.
+void* vtc_open(const char* path, int threads) {
+  Demux* d = new (std::nothrow) Demux();
+  if (!d) return nullptr;
+  if (d->open(path, threads, /*with_codec=*/true) < 0) {
+    delete d;
+    return nullptr;
+  }
+  return d;
+}
+
+int vtc_handle_info(void* handle, int* width, int* height, double* fps,
+                    double* duration_sec, int64_t* nb_frames,
+                    double* start_sec) {
+  if (!handle) return -100;
+  static_cast<Demux*>(handle)->info(width, height, fps, duration_sec,
+                                    nb_frames, start_sec);
+  return 0;
+}
+
+// Decode the segment [start_sec, end_sec] (ABSOLUTE stream pts) into packed
+// RGB24 frames of (out_w, out_h). Repeatable on one handle (seek + flush).
+//
+//   end_sec < 0      : no end limit (decode to EOF)
+//   subsample_to > 0 : floor-linspace select that many frames over the
+//                      decoded segment (identical selection to decoding all
+//                      then indexing); only the selected frames are
+//                      colorspace-converted/resized
+//   max_frames > 0   : stop decoding after that many in-range frames
+//   cap_frames       : capacity of `out` in frames (hard output bound)
+//
+// Returns the number of frames written to `out`, or negative on error.
+int vtc_handle_decode(void* handle, double start_sec, double end_sec,
+                      int out_w, int out_h, int subsample_to, int max_frames,
+                      uint8_t* out, int cap_frames) {
+  if (!handle) return -100;
+  return decode_on(*static_cast<Demux*>(handle), start_sec, end_sec, out_w,
+                   out_h, subsample_to, max_frames, out, cap_frames);
+}
+
+void vtc_close(void* handle) { delete static_cast<Demux*>(handle); }
+
+// One-shot convenience wrapper (open → decode → close).
+int vtc_decode_segment(const char* path, double start_sec, double end_sec,
+                       int out_w, int out_h, int subsample_to, int max_frames,
+                       int threads, uint8_t* out, int cap_frames) {
+  Demux d;
+  int rc = d.open(path, threads, /*with_codec=*/true);
+  if (rc < 0) return rc;
+  return decode_on(d, start_sec, end_sec, out_w, out_h, subsample_to,
+                   max_frames, out, cap_frames);
 }
 
 }  // extern "C"

@@ -56,11 +56,41 @@ def test_probe(video):
     path, w, h, fps, n = video
     info = native.probe_video(path)
     assert info is not None
-    pw, ph, pfps, dur, nbf = info
+    pw, ph, pfps, dur, nbf, t0 = info
     assert (pw, ph) == (w, h)
     assert abs(pfps - fps) < 0.5
     assert abs(dur - n / fps) < 0.5
     assert nbf in (0, n)
+    assert abs(t0) < 0.5  # no container start offset in this clip
+
+
+def test_handle_reuse(video):
+    """One open handle serves info + repeated segment decodes."""
+    path, w, h, fps, n = video
+    with native.open_video(path) as handle:
+        assert handle.info()[:2] == (w, h)
+        a = handle.decode(0.0, 1.0, w, h, max_frames=4)
+        b = handle.decode(2.0, 3.0, w, h, max_frames=4)
+        a2 = handle.decode(0.0, 1.0, w, h, max_frames=4)
+    assert a.shape == b.shape == (4, h, w, 3)
+    # re-seek reproduces the first segment exactly; the later segment differs
+    assert np.array_equal(a, a2)
+    assert not np.array_equal(a, b)
+
+
+def test_subsample_to_one_matches_cv2(video):
+    """np.linspace(0, n-1, 1) == [0]: both backends pick the FIRST frame."""
+    path, w, h, fps, n = video
+    _force("native")
+    nat = read_video_segment(path, end_sec=4.0, subsample_to=1)
+    _force("cv2")
+    ref = read_video_segment(path, end_sec=4.0, subsample_to=1)
+    assert nat.shape == ref.shape == (1, h, w, 3)
+    lvl_nat = nat[:, 32:].mean()
+    lvl_ref = ref[:, 32:].mean()
+    assert abs(lvl_nat - lvl_ref) < 3.0
+    # the first frame's gradient level is ~0 (i=0), not the segment tail
+    assert lvl_nat < 10.0
 
 
 def test_full_decode_matches_cv2(video):
@@ -121,6 +151,32 @@ def test_fallbacks_reader_native(video):
     )
     assert vid.shape == (8, 48, 72, 3)
     assert vid.any()
+
+
+def test_cv2_rebases_absolute_pts_by_start_offset(video, monkeypatch):
+    """Segment endpoints are absolute stream pts; the cv2 path must subtract
+    the container start offset before entering CAP_PROP_POS_MSEC's relative
+    domain (the reference's reddit 1.4 s case). Synthesizing an offset
+    container needs a muxer this image lacks, so fake the probe instead."""
+    path, w, h, fps, n = video
+    from vtc_tpu.data import native as native_mod
+
+    _force("cv2")
+    ref = read_video_segment(path, start_sec=1.0, end_sec=3.0, subsample_to=4)
+
+    real_probe = native_mod.probe_video
+
+    def offset_probe(p):
+        info = real_probe(p)
+        assert info is not None and abs(info[5]) < 1e-6
+        return info[:5] + (1.0,)
+
+    monkeypatch.setattr("vtc_tpu.data.native.probe_video", offset_probe)
+    shifted = read_video_segment(
+        path, start_sec=2.0, end_sec=4.0, subsample_to=4
+    )
+    # absolute [2, 4] on a start_time=1 stream == relative [1, 3]
+    assert np.array_equal(shifted, ref)
 
 
 def test_native_forced_on_garbage_returns_empty(tmp_path):

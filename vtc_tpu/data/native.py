@@ -109,13 +109,25 @@ def get_decode_lib() -> Optional[ctypes.CDLL]:
         if lib is None:
             return None
         u8p = ctypes.POINTER(ctypes.c_uint8)
-        lib.vtc_probe.argtypes = [
-            ctypes.c_char_p,
+        info_ptrs = [
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
-            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
         ]
+        lib.vtc_probe.argtypes = [ctypes.c_char_p] + info_ptrs
         lib.vtc_probe.restype = ctypes.c_int
+        lib.vtc_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
+        lib.vtc_open.restype = ctypes.c_void_p
+        lib.vtc_handle_info.argtypes = [ctypes.c_void_p] + info_ptrs
+        lib.vtc_handle_info.restype = ctypes.c_int
+        lib.vtc_handle_decode.argtypes = [
+            ctypes.c_void_p, ctypes.c_double, ctypes.c_double,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            u8p, ctypes.c_int,
+        ]
+        lib.vtc_handle_decode.restype = ctypes.c_int
+        lib.vtc_close.argtypes = [ctypes.c_void_p]
+        lib.vtc_close.restype = None
         lib.vtc_decode_segment.argtypes = [
             ctypes.c_char_p, ctypes.c_double, ctypes.c_double,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -130,23 +142,106 @@ def decode_available() -> bool:
     return get_decode_lib() is not None
 
 
-def probe_video(path: str):
-    """(width, height, fps, duration_sec, nb_frames) or None on failure."""
-    lib = get_decode_lib()
-    if lib is None:
-        return None
+def _unpack_info(getter) -> Optional[tuple]:
     w = ctypes.c_int()
     h = ctypes.c_int()
     fps = ctypes.c_double()
     dur = ctypes.c_double()
     nbf = ctypes.c_int64()
-    rc = lib.vtc_probe(
-        str(path).encode(), ctypes.byref(w), ctypes.byref(h),
-        ctypes.byref(fps), ctypes.byref(dur), ctypes.byref(nbf),
+    t0 = ctypes.c_double()
+    rc = getter(
+        ctypes.byref(w), ctypes.byref(h), ctypes.byref(fps),
+        ctypes.byref(dur), ctypes.byref(nbf), ctypes.byref(t0),
     )
     if rc != 0:
         return None
-    return w.value, h.value, fps.value, dur.value, nbf.value
+    return w.value, h.value, fps.value, dur.value, nbf.value, t0.value
+
+
+def probe_video(path: str):
+    """(width, height, fps, duration_sec, nb_frames, start_sec) or None on
+    failure. Metadata only — no decoder is initialized. ``start_sec`` is
+    the container/stream start offset (absolute-pts segment endpoints minus
+    this give the cv2 CAP_PROP_POS_MSEC domain)."""
+    lib = get_decode_lib()
+    if lib is None:
+        return None
+    return _unpack_info(
+        lambda *ptrs: lib.vtc_probe(str(path).encode(), *ptrs)
+    )
+
+
+class VideoHandle:
+    """Open demuxer+decoder for one file: probe and decode segments without
+    re-paying avformat open/stream-info/codec init per call (the host
+    pipeline is single-core; per-item re-opens were 2-3× pure overhead).
+    Use as a context manager."""
+
+    def __init__(self, lib, handle):
+        self._lib = lib
+        self._handle = handle
+
+    def info(self) -> Optional[tuple]:
+        """Same tuple as :func:`probe_video`."""
+        return _unpack_info(
+            lambda *ptrs: self._lib.vtc_handle_info(self._handle, *ptrs)
+        )
+
+    def decode(
+        self,
+        start_sec: float,
+        end_sec: Optional[float],
+        out_w: int,
+        out_h: int,
+        subsample_to: Optional[int] = None,
+        max_frames: Optional[int] = None,
+        cap_frames: Optional[int] = None,
+    ) -> Optional[np.ndarray]:
+        """Segment decode -> uint8 [t, out_h, out_w, 3] RGB, or None on any
+        failure (caller falls back to OpenCV). Endpoints are absolute stream
+        pts. Repeatable on one handle. ``cap_frames`` bounds the output
+        allocation when neither ``subsample_to`` nor ``max_frames`` is given
+        (the caller estimates it from ``info()``)."""
+        cap = subsample_to or max_frames or cap_frames
+        if not cap or cap <= 0:
+            return None
+        out = np.empty((cap, out_h, out_w, 3), np.uint8)
+        n = self._lib.vtc_handle_decode(
+            self._handle, float(start_sec),
+            -1.0 if end_sec is None else float(end_sec),
+            out_w, out_h, subsample_to or 0, max_frames or 0,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+        )
+        if n <= 0:
+            return None
+        return out[:n]
+
+    def close(self):
+        if self._handle:
+            self._lib.vtc_close(self._handle)
+            self._handle = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        self.close()
+
+
+def open_video(path: str, num_threads: Optional[int] = None) -> Optional[VideoHandle]:
+    """Open a :class:`VideoHandle`, or None when the native worker is
+    unavailable or the file cannot be demuxed/decoded."""
+    lib = get_decode_lib()
+    if lib is None:
+        return None
+    nthreads = num_threads or min(4, len(os.sched_getaffinity(0)) or 1)
+    handle = lib.vtc_open(str(path).encode(), nthreads)
+    if not handle:
+        return None
+    return VideoHandle(lib, handle)
 
 
 def decode_segment(
@@ -160,10 +255,8 @@ def decode_segment(
     cap_frames: Optional[int] = None,
     num_threads: Optional[int] = None,
 ) -> Optional[np.ndarray]:
-    """Native segment decode -> uint8 [t, out_h, out_w, 3] RGB, or None on
-    any failure (caller falls back to OpenCV). ``cap_frames`` bounds the
-    output allocation when neither ``subsample_to`` nor ``max_frames`` is
-    given (the caller estimates it from the probe)."""
+    """One-shot segment decode (open → decode → close); prefer
+    :func:`open_video` when info + decode (or retries) hit the same file."""
     lib = get_decode_lib()
     if lib is None:
         return None

@@ -8,8 +8,11 @@ to the segment start, decode to native YUV, and swscale convert/resize of
 ONLY the linspace-selected frames — the per-frame YUV→RGB conversion that
 ``cv2.VideoCapture.read`` forces on every decoded frame is the biggest
 avoidable share of the decode wall (receipts: PERFORMANCE.md, video host
-pipeline). OpenCV's bundled ffmpeg remains the fallback with identical
-frame-selection semantics (``VTC_DECODE=cv2`` forces it). The native C++
+pipeline). Segment endpoints are ABSOLUTE stream pts, matching the
+reference's torchvision reader. OpenCV's bundled ffmpeg remains the
+fallback with identical frame-selection semantics — its start_time-relative
+position domain is re-based using the probed container offset
+(``VTC_DECODE=cv2`` forces it). The native C++
 preprocessing stage (resize/normalize) lives in ``native/vtc_preproc.cpp``
 and is used downstream of decode.
 """
@@ -54,32 +57,52 @@ def _read_segment_native(
     max_frames: Optional[int],
     subsample_to: Optional[int],
 ) -> Optional[np.ndarray]:
-    """libav decode via native/vtc_decode.cpp; None -> use the cv2 path."""
+    """libav decode via native/vtc_decode.cpp; None -> use the cv2 path.
+
+    One demuxer/decoder open serves the metadata query and every decode
+    attempt (``native.VideoHandle``) — the single-core host pipeline paid
+    2-3 avformat/codec inits per segment before."""
     from . import native
 
-    info = native.probe_video(path)
-    if info is None:
+    handle = native.open_video(path)
+    if handle is None:
         return None
-    w, h, fps, duration, _ = info
-    if w <= 0 or h <= 0:
-        return None
-    nw, nh = _resize_dims(w, h, resize_width, resize_height)
-    cap = None
-    if subsample_to is None and max_frames is None:
-        # unbounded decode (read_video_full): size the buffer from stream
-        # metadata, growing on the rare VFR/bad-metadata miss
-        span = duration if end_sec is None else min(duration, end_sec) - start_sec
-        cap = max(64, int((fps or 30.0) * max(span, 1.0) * 1.15) + 16)
-    for _ in range(3):
-        out = native.decode_segment(
-            path, start_sec, end_sec, nw, nh,
-            subsample_to=subsample_to, max_frames=max_frames, cap_frames=cap,
-        )
-        if out is None:
+    with handle:
+        info = handle.info()
+        if info is None:
             return None
-        if cap is None or len(out) < cap:
-            return out
-        cap *= 2  # buffer filled to the brim: frames may be truncated
+        w, h, fps, duration, nb_frames, _ = info
+        if w <= 0 or h <= 0:
+            return None
+        nw, nh = _resize_dims(w, h, resize_width, resize_height)
+        cap = None
+        if subsample_to is None and max_frames is None:
+            # unbounded decode (read_video_full): size the buffer from the
+            # container's frame count when recorded, else fps×duration,
+            # growing on the rare VFR/bad-metadata miss
+            span = (
+                duration if end_sec is None
+                else min(duration, end_sec) - start_sec
+            )
+            est = (fps or 30.0) * max(span, 1.0) * 1.15
+            if end_sec is None and nb_frames > 0:
+                est = max(est, float(nb_frames))
+            cap = max(64, int(est) + 16)
+        for _ in range(3):
+            out = handle.decode(
+                start_sec, end_sec, nw, nh,
+                subsample_to=subsample_to, max_frames=max_frames,
+                cap_frames=cap,
+            )
+            if out is None:
+                return None
+            if cap is None or len(out) < cap:
+                return out
+            cap *= 2  # buffer filled to the brim: frames may be truncated
+    logger.warning(
+        "native decode filled a %d-frame buffer after growth; the video may "
+        "be truncated (bad fps/duration metadata?): %s", cap // 2, path,
+    )
     return out
 
 
@@ -122,6 +145,21 @@ def read_video_segment(
     if not cap.isOpened():
         return np.zeros((0,) + FALLBACK_SHAPE[1:], np.uint8)
 
+    # Segment endpoints are ABSOLUTE stream pts (reference semantics:
+    # torchvision's `_read_video_from_file(video_pts_range=...)` — the
+    # reddit 1.4 s container offset is compensated in dataset code,
+    # `dataset_loaders.py:362-372`), but cv2's CAP_PROP_POS_MSEC domain is
+    # start_time-RELATIVE. Align by probing the container start offset when
+    # the native worker is available; pure-cv2 environments keep the
+    # relative domain (the offset is zero for most containers).
+    t0 = 0.0
+    if start_sec > 0 or end_sec is not None:
+        from . import native
+
+        info = native.probe_video(path)
+        if info is not None:
+            t0 = info[5]
+
     def _process(frame):
         w, h = frame.shape[1], frame.shape[0]
         nw, nh = _resize_dims(w, h, resize_width, resize_height)
@@ -130,8 +168,8 @@ def read_video_segment(
         return cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
 
     try:
-        if start_sec > 0:
-            cap.set(cv2.CAP_PROP_POS_MSEC, start_sec * 1000.0)
+        if start_sec - t0 > 0:
+            cap.set(cv2.CAP_PROP_POS_MSEC, (start_sec - t0) * 1000.0)
         frames = []
         # deferring resize/convert to the selected frames only pays when
         # buffering RAW frames is cheap; for high-res sources (>~720p) a
@@ -144,7 +182,7 @@ def read_video_segment(
             ok, frame = cap.read()
             if not ok:
                 break
-            if end_sec is not None and pos > end_sec * 1000.0:
+            if end_sec is not None and pos > (end_sec - t0) * 1000.0:
                 break
             if defer and not frames and frame.shape[0] * frame.shape[1] > 1_000_000:
                 defer = False
@@ -175,7 +213,7 @@ def video_duration_sec(path: str) -> float:
 
         info = native.probe_video(path)
         if info is not None:
-            _, _, fps, duration, nb_frames = info
+            _, _, fps, duration, nb_frames, _ = info
             # prefer the frame-count-derived duration (matches the cv2
             # FRAME_COUNT/FPS computation); container duration otherwise
             if nb_frames > 0 and fps > 0:
