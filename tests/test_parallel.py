@@ -218,3 +218,33 @@ def test_collective_profile_is_pinned():
     assert dptp["collective-permute"] == 0, dptp
     assert dptp["all-reduce"] <= 260, dptp
     assert dptp["all-gather"] <= 60, dptp
+
+
+def test_tp_qkv_flag_tracks_newest_mesh():
+    """create_mesh(tp>1) switches attention to the per-projection qkv dots;
+    a later tp=1 mesh switches BACK (the flag must not latch on and degrade
+    subsequent single-chip traces)."""
+    from vtc_tpu.models import layers
+
+    devs = jax.devices()
+    try:
+        create_mesh(4, 2, devices=devs)
+        assert layers.use_tp_qkv()
+    finally:
+        create_mesh(8, 1, devices=devs)
+    assert not layers.use_tp_qkv()
+
+
+def test_tree_shardings_rejects_indivisible_tp():
+    """tp=3 does not divide the text tower's E=512 qkv rows: GSPMD would pad
+    and reshard, voiding the pinned zero-collective profile — reject it at
+    the point where params meet the mesh."""
+    import pytest
+
+    mesh = create_mesh(2, 3, devices=jax.devices()[:6])
+    try:
+        tree = {"attn": {"in_proj_weight": jnp.zeros((3, 512, 512))}}
+        with pytest.raises(ValueError, match="does not divide"):
+            tree_shardings(tree, mesh)
+    finally:
+        create_mesh(8, 1, devices=jax.devices())

@@ -221,27 +221,8 @@ class MultiHeadAttention(nn.Module):
                 in_proj_bias.reshape(3 * e),
             )
             q, k, v = jnp.split(qkv, 3, axis=-1)
-        elif use_tp_qkv():
-            # tensor-parallel form: three LOCAL dots against the per-j weight
-            # slices — each [E, E] slice is row-sharded on head boundaries by
-            # P(None, "model", None), so no collective touches qkv at all.
-            # Costs two extra HBM reads of x vs the merged GEMM, which is why
-            # it's gated on actually running model-parallel.
-            w = in_proj_weight.astype(self.dtype)
-            b3 = in_proj_bias.astype(self.dtype)
-            q = _dot(x, w[0].T) + b3[0]
-            k = _dot(x, w[1].T) + b3[1]
-            v = _dot(x, w[2].T) + b3[2]
         else:
-            # single-chip/dp default: ONE fused GEMM (x read once); the
-            # [3,E,E]->[3E,E] weight merge is a free reshape and the j-major
-            # output splits into contiguous full-lane slices (the round-2
-            # measured-fast path — j-batched einsum variants force an output
-            # transpose, measured -18% end-to-end on v5e)
-            qkv = _dot(
-                x, in_proj_weight.reshape(3 * e, e).astype(self.dtype).T
-            ) + in_proj_bias.reshape(3 * e).astype(self.dtype)
-            q, k, v = jnp.split(qkv, 3, axis=-1)
+            q, k, v = qkv_project(x, in_proj_weight, in_proj_bias, self.dtype)
 
         fold = self.seq_fold
         if fold != 1 and x.ndim == 3:
@@ -444,15 +425,58 @@ class TorchBatchNorm(nn.Module):
         return (y * scale + bias).astype(self.dtype)
 
 
+_TP_QKV = False
+
+
+def set_tp_qkv(enabled: bool) -> None:
+    """Select the qkv projection form for subsequently traced models.
+    ``parallel.mesh.create_mesh`` calls this with ``n_model > 1`` — creating
+    a tp mesh enables the per-projection dots, and creating a later
+    single-model-axis mesh switches back to the merged GEMM (the flag tracks
+    the newest mesh rather than latching on, so tp work in a process does
+    not degrade later single-chip traces)."""
+    global _TP_QKV
+    _TP_QKV = bool(enabled)
+
+
 def use_tp_qkv() -> bool:
-    """Model-parallel qkv form (``VTC_TP_QKV=1``): three local per-projection
-    dots instead of the merged [E, 3E] GEMM. Required for zero-resharding
-    tensor parallelism (GSPMD cannot merge the sharded E dim of the
-    [3, E, E] weight into 3E without a gather); costs two extra HBM reads of
-    the activations, so single-chip/dp keeps the merged GEMM. Set
-    automatically by ``parallel.mesh.enable_tp_qkv`` / the multichip
-    dryrun when the mesh has a model axis > 1."""
-    return os.environ.get("VTC_TP_QKV") == "1"
+    """Model-parallel qkv form: three local per-projection dots instead of
+    the merged [E, 3E] GEMM. Required for zero-resharding tensor parallelism
+    (GSPMD cannot merge the sharded E dim of the [3, E, E] weight into 3E
+    without a gather); costs two extra HBM reads of the activations, so
+    single-chip/dp keeps the merged GEMM. Managed by :func:`set_tp_qkv`
+    (called by ``parallel.mesh.create_mesh``); ``VTC_TP_QKV=1`` forces it on
+    for experiments."""
+    return _TP_QKV or os.environ.get("VTC_TP_QKV") == "1"
+
+
+def qkv_project(x, in_proj_weight, in_proj_bias, dtype):
+    """The [3, E, E] fused-qkv projection, in the form ``use_tp_qkv``
+    selects (see :class:`MultiHeadAttention` for the layout rationale).
+    Shared by every attention variant so the tp-gated policy lives in ONE
+    place. Returns ``(q, k, v)``, each [..., L, E] in ``dtype``."""
+    e = in_proj_weight.shape[-1]
+    if use_tp_qkv():
+        # tensor-parallel form: three LOCAL dots against the per-j weight
+        # slices — each [E, E] slice is row-sharded on head boundaries by
+        # P(None, "model", None), so no collective touches qkv at all.
+        w = in_proj_weight.astype(dtype)
+        b3 = in_proj_bias.astype(dtype)
+        return (
+            _dot(x, w[0].T) + b3[0],
+            _dot(x, w[1].T) + b3[1],
+            _dot(x, w[2].T) + b3[2],
+        )
+    # single-chip/dp default: ONE fused GEMM (x read once); the
+    # [3,E,E]->[3E,E] weight merge is a free reshape and the j-major
+    # output splits into contiguous full-lane slices (the round-2
+    # measured-fast path — j-batched einsum variants force an output
+    # transpose, measured -18% end-to-end on v5e)
+    qkv = _dot(
+        x, in_proj_weight.reshape(3 * e, e).astype(dtype).T
+    ) + in_proj_bias.reshape(3 * e).astype(dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    return q, k, v
 
 
 def use_remat() -> bool:

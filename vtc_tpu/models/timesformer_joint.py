@@ -67,23 +67,9 @@ class _FactorizedAttention(nn.Module):
             "in_proj_bias", nn.initializers.zeros, (3, e), jnp.float32
         )
 
-        from .layers import use_tp_qkv
+        from .layers import qkv_project
 
-        if use_tp_qkv():
-            w = in_proj_weight.astype(self.dtype)
-            b3 = in_proj_bias.astype(self.dtype)
-            q = jnp.matmul(x, w[0].T, preferred_element_type=jnp.float32
-                           ).astype(self.dtype) + b3[0]
-            k = jnp.matmul(x, w[1].T, preferred_element_type=jnp.float32
-                           ).astype(self.dtype) + b3[1]
-            v = jnp.matmul(x, w[2].T, preferred_element_type=jnp.float32
-                           ).astype(self.dtype) + b3[2]
-        else:
-            qkv = jnp.matmul(
-                x, in_proj_weight.reshape(3 * e, e).astype(self.dtype).T,
-                preferred_element_type=jnp.float32,
-            ).astype(self.dtype) + in_proj_bias.reshape(3 * e).astype(self.dtype)
-            q, k, v = jnp.split(qkv, 3, axis=-1)
+        q, k, v = qkv_project(x, in_proj_weight, in_proj_bias, self.dtype)
 
         def heads(z):  # [b, L, e] -> [b*h, L, hd]
             z = z.reshape(b, L, h, head_dim)

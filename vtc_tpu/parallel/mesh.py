@@ -11,8 +11,11 @@ are subsumed by a single ``jax.sharding.Mesh`` with axes ``("data", "model")``:
   pipeline scheduler. The fused qkv is stored [3, E, E]
   (``models/layers.py``), so the per-projection row split lands on complete
   head groups: the compiled dp×tp step has ZERO resharding collectives
-  (pinned by ``test_parallel.py::test_collective_profile_is_pinned``);
-  requires ``tp`` to divide the head count (12/8 heads -> tp in {2,3,4,6} ok).
+  (pinned by ``test_parallel.py::test_collective_profile_is_pinned``).
+  The zero-collective property requires ``tp`` to divide EVERY tower's head
+  count (ViT-B/32: 12 visual + 8 text heads -> tp in {2, 4});
+  ``tree_shardings`` rejects meshes whose model axis does not divide the
+  sharded parameter dims.
 
 Everything is GSPMD: param/batch PartitionSpecs are assigned by path rules
 below and XLA inserts the collectives.
@@ -39,13 +42,13 @@ def create_mesh(
         n_data = len(devices) // n_model
     devices = devices[: n_data * n_model]
     arr = np.array(devices).reshape(n_data, n_model)
-    if n_model > 1:
-        # switch attention to the per-projection qkv dots so the [3, E, E]
-        # sharding stays collective-free (models/layers.py:use_tp_qkv);
-        # read at trace time, so setting it here covers every caller
-        import os
+    # Switch attention to the per-projection qkv dots so the [3, E, E]
+    # sharding stays collective-free; read at trace time, so setting it
+    # here covers every caller. tp=1 meshes switch BACK to the merged GEMM
+    # (the flag tracks the newest mesh — see layers.set_tp_qkv).
+    from ..models import layers
 
-        os.environ["VTC_TP_QKV"] = "1"
+    layers.set_tp_qkv(n_model > 1)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
@@ -88,9 +91,27 @@ def tree_pspecs(tree):
 
 
 def tree_shardings(tree, mesh: Mesh):
-    return jax.tree_util.tree_map(
-        lambda spec: NamedSharding(mesh, spec), tree_pspecs(tree)
-    )
+    """NamedShardings for a parameter tree; raises when the mesh's model
+    axis does not divide a sharded parameter dim (GSPMD would silently pad
+    and reshard, voiding the pinned zero-collective profile — e.g. tp=3 on
+    the text tower's E=512 rows)."""
+
+    def check(path, leaf, spec):
+        for dim, axis in zip(getattr(leaf, "shape", ()), spec):
+            if axis is None:
+                continue
+            size = mesh.shape[axis]
+            if dim % size:
+                raise ValueError(
+                    f"mesh axis {axis!r} (size {size}) does not divide dim "
+                    f"{dim} of param {_path_str(path)!r} "
+                    f"(shape {tuple(leaf.shape)}); pick a tp degree that "
+                    f"divides every tower's head count (ViT-B/32: tp in "
+                    "{2, 4})"
+                )
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(check, tree, tree_pspecs(tree))
 
 
 def batch_pspec():
