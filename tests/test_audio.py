@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from vtc_tpu.audio import AudioResNet9, import_gdt_audio_weights
+import pytest
+
 from vtc_tpu.audio.spectrogram import (
     FALLBACK,
     N_FRAMES,
@@ -108,6 +110,7 @@ def test_gdt_weight_import_matches_torch():
     np.testing.assert_allclose(ours, ref, atol=2e-3, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_cam_audio_fusion_path():
     """finaltf with init_audio_model: cached audio clips join the comment
     stack through the MLP head (model/model.py:220-230)."""

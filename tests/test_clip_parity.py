@@ -206,6 +206,7 @@ def test_param_shapes_match_init(models):
     assert ref_shapes == got_shapes
 
 
+@pytest.mark.slow
 def test_bf16_close_to_fp32():
     """The bf16 deployment config must track the fp32 model closely on
     normalized embeddings (cosine > 0.995)."""

@@ -95,6 +95,7 @@ def flagship_inputs():
     return vis, toks, comments
 
 
+@pytest.mark.slow
 def test_bf16_model_fused_vs_unfused(flagship_inputs, monkeypatch):
     vis, toks, comments = flagship_inputs
     outs = {}

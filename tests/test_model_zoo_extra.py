@@ -6,6 +6,8 @@ import numpy as np
 
 from vtc_tpu.models.clip_model import CLIP_VARIANTS, VisionTransformer
 from vtc_tpu.models.r2plus1d import R2Plus1D_34_IG65M_32frames, _midplanes
+import pytest
+
 from vtc_tpu.models.timesformer_joint import (
     TimeSformerJoint,
     joint_timesformer_params_from_clip_visual,
@@ -21,6 +23,7 @@ def test_r2plus1d_midplanes_matches_torchvision_rule():
     assert _midplanes(64, 64) == (64 * 64 * 27) // (64 * 9 + 3 * 64)
 
 
+@pytest.mark.slow
 def test_r2plus1d_forward_shape():
     model = R2Plus1D_34_IG65M_32frames()
     x = jnp.asarray(
@@ -84,6 +87,7 @@ def test_joint_timesformer_time_attention_noop_at_init():
     assert not np.allclose(out, out3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_r2plus1d_reachable_from_factory_config():
     """The reference exports R2Plus1D_34_IG65M_32frames for config-driven
     construction (model/__init__.py:24-50); create_model must build it

@@ -4,6 +4,7 @@ dp+tp train step parity with single-device, and the graft-entry dryrun."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from vtc_tpu.models import create_model
@@ -43,6 +44,7 @@ def _data(batch=8, seed=0):
     return vis, title, comments
 
 
+@pytest.mark.slow
 def test_sharded_train_step_matches_single_device():
     """One dp=4 x tp=2 training step must produce the same loss and params
     as the unsharded step (GSPMD correctness of our shardings)."""
@@ -97,12 +99,14 @@ def test_sharded_train_step_matches_single_device():
     np.testing.assert_allclose(p1, p2, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_graft_entry_dryrun_driver_call_path():
     """Replicate the DRIVER's exact invocation: a fresh process where the
     default (possibly TPU) backend initializes first and conftest's CPU-mesh
@@ -151,6 +155,7 @@ def test_entry_compiles_tiny():
     assert np.isfinite(np.asarray(sim)).all()
 
 
+@pytest.mark.slow
 def test_collective_profile_is_pinned():
     """Audit the GSPMD collectives of the compiled dp/dp×tp train step on
     the CPU mesh (the multichip comms contract this framework ships).

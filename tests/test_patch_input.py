@@ -90,6 +90,7 @@ def _tokens(shape, seed=3):
     return jnp.asarray(toks)
 
 
+@pytest.mark.slow
 def test_retrieval_dispatch_image_patches(finaltf):
     module, variables = finaltf
     u8 = _rand_uint8((3,) + (VARIANT.input_resolution,) * 2 + (3,), seed=5)

@@ -13,6 +13,7 @@ Measured on this setup: R@1 ~0.04 (skip branch, unchanged by training) vs
 
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from vtc_tpu.data import tokenizer as tk
@@ -25,6 +26,7 @@ from vtc_tpu.training.trainer import TrainState, make_step_fns
 N = 48  # items; titles shared in pairs -> 24 unique titles
 
 
+@pytest.mark.slow
 def test_cam_learns_to_use_comments():
     rng = np.random.default_rng(0)
     letters = list("abcdefghijklmnopqrstuvwxyz")

@@ -193,6 +193,7 @@ def _export_block(sd, pre, b, t):
     sd[f"{pre}.mlp.c_proj.bias"] = t(b["mlp"]["c_proj"]["bias"])
 
 
+@pytest.mark.slow
 def test_stage_table6a_runs_end_to_end(tmp_path):
     """The trained-checkpoint Table-6a stage on a synthetic corpus + tiny
     Orbax checkpoint (limit mode: plumbing only, no README comparison)."""

@@ -175,6 +175,7 @@ def test_retrieval_evaluation_image_branch(cam_model):
     assert not (same_is and same_ts)
 
 
+@pytest.mark.slow
 def test_load_model_from_orbax_checkpoint(tmp_path):
     """evaluation/retrieval_evaluation.py's load_model: arch mapping, ckpt
     graft, init_from_avg picked up from the saved config."""
@@ -230,6 +231,7 @@ def test_load_model_from_orbax_checkpoint(tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_fwd_cache_no_cross_model_hit():
     """Two models with different configs must never share a compiled eval
     forward (round-1 keyed a side cache on id(module), which can alias after

@@ -260,6 +260,7 @@ def test_loss_decreases_with_training(tmp_path):
     assert np.mean(losses[-4:]) < np.mean(losses[:4]) - 0.05
 
 
+@pytest.mark.slow
 def test_warm_start_image_to_video(tmp_path):
     """Image CAM checkpoint -> TimeSformer video model: missing keys must be
     time/temporal, unexpected none (base_trainer.py:165-176)."""
@@ -497,6 +498,7 @@ def test_import_reference_timesformer_checkpoint(tmp_path):
     np.testing.assert_allclose(np.asarray(out1[2]), np.asarray(out2[2]), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_training_determinism(tmp_path):
     """Two runs from the same seed produce bitwise-identical parameters —
     the reproducibility the reference approximates with global seeding
@@ -535,6 +537,7 @@ def test_training_determinism(tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_trainer_resume_roundtrip(tmp_path):
     """Resume semantics: epoch pointer, monitor best, params restored
     (base_trainer.py:147-219)."""
@@ -585,6 +588,7 @@ def test_trainer_resume_roundtrip(tmp_path):
     # fresh state could not have passed the equality above
 
 
+@pytest.mark.slow
 def test_trainer_iteration_based_mode(tmp_path):
     """len_epoch (inf_loop) mode: an epoch is len_epoch batches regardless of
     dataset size (trainer/trainer.py:37-43)."""
@@ -648,6 +652,7 @@ def test_train_step_with_stateful_bn_activation(tmp_path):
     np.testing.assert_allclose(np.asarray(out1[2]), np.asarray(out2[2]))
 
 
+@pytest.mark.slow
 def test_uint8_image_path_is_exact(tmp_path):
     """uint8 HWC batch through the jitted step == fp32 host-preprocessed
     batch (the device normalize is the same arithmetic on the same resized

@@ -23,6 +23,7 @@ intentionally not pinned; the mechanism is.)
 
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from vtc_tpu.data import tokenizer as tk
@@ -43,6 +44,7 @@ def _paired_videos(rng):
     return jnp.asarray(np.stack(vids))
 
 
+@pytest.mark.slow
 def test_timesformer_order_sensitivity_mechanism():
     rng = np.random.default_rng(0)
     module, variables = create_model(
