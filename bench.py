@@ -134,6 +134,48 @@ def _subprocess_run(expr: str, extra_env=None, timeout=2400) -> float:
     raise RuntimeError(f"bench subprocess failed: {out.stderr[-2000:]}")
 
 
+def _probe_tpu(total_budget_s: float = 1800.0, attempt_timeout_s: float = 120.0):
+    """Fail fast (and loudly) when the TPU tunnel is unreachable.
+
+    The headline measurement runs in THIS process, and a hung axon client
+    creation blocks in C (uninterruptible) — observed when the tunnel is
+    down: ``jax.devices()`` never returns. Probe device init in a subprocess
+    (killable) with a bounded per-attempt timeout, retrying for up to
+    ``total_budget_s`` in case the outage is transient. Raises RuntimeError
+    when the budget is exhausted so the caller exits nonzero instead of
+    stalling the driver indefinitely.
+    """
+    if os.environ.get("BENCH_SKIP_TPU_PROBE") == "1":
+        return
+    code = "import jax; d = jax.devices(); print('PROBE_OK', len(d), d[0].platform)"
+    deadline = time.monotonic() + total_budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True, text=True,
+                timeout=attempt_timeout_s,
+            )
+            if "PROBE_OK" in out.stdout:
+                return
+            err = out.stderr[-500:]
+        except subprocess.TimeoutExpired:
+            err = f"device init did not return within {attempt_timeout_s:.0f}s"
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            raise RuntimeError(
+                f"TPU backend unreachable after {attempt} probe attempts "
+                f"({total_budget_s:.0f}s budget); last error: {err}"
+            )
+        print(
+            f"warning: TPU probe attempt {attempt} failed ({err}); "
+            f"retrying ({remaining:.0f}s left)",
+            file=sys.stderr,
+        )
+        time.sleep(min(60.0, max(0.0, remaining)))
+
+
 def _measure_cpu() -> float:
     """CPU baseline in a clean subprocess (the TPU plugin owns this process)."""
     if CACHE.exists():
@@ -157,6 +199,8 @@ def main():
     # at identical device time; PERFORMANCE.md round 3)
     batch = int(os.environ.get("BENCH_BATCH", 160))
     iters = int(os.environ.get("BENCH_ITERS", 96))
+
+    _probe_tpu()
 
     ns = {}
     exec(BENCH_CODE, ns)
