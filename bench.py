@@ -177,17 +177,29 @@ def _probe_tpu(total_budget_s: float = 1800.0, attempt_timeout_s: float = 120.0)
 
 
 def _measure_cpu() -> float:
-    """CPU baseline in a clean subprocess (the TPU plugin owns this process)."""
+    """CPU baseline in a clean subprocess (the TPU plugin owns this process).
+
+    The cache is keyed on a hash of the bench workload so a stale baseline
+    measured under an older harness (different input path / windowing) can
+    never be compared against the current TPU number.
+    """
+    import hashlib
+
+    key = hashlib.sha256(BENCH_CODE.encode()).hexdigest()[:16]
     if CACHE.exists():
         try:
-            return float(json.loads(CACHE.read_text())["pairs_per_sec"])
+            cached = json.loads(CACHE.read_text())
+            if cached.get("workload") == key:
+                return float(cached["pairs_per_sec"])
         except Exception:
             pass
     val = _subprocess_run(
         "run(8, 2, 1, 'fp32', windows=1)", {"JAX_PLATFORMS": "cpu"},
         timeout=1800,
     )
-    CACHE.write_text(json.dumps({"pairs_per_sec": val, "ts": time.time()}))
+    CACHE.write_text(
+        json.dumps({"pairs_per_sec": val, "ts": time.time(), "workload": key})
+    )
     return val
 
 

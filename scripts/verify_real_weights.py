@@ -285,6 +285,13 @@ def stage_table6a(
     from vtc_tpu.models import create_model
     from vtc_tpu.training.checkpoints import graft_params, load_checkpoint
 
+    if table_row is not None and table_row not in TABLE6A_ROWS:
+        # validate BEFORE the multi-minute eval, not at the final lookup
+        raise ValueError(
+            f"unknown VTC_TABLE6A_ROW {table_row!r}; valid rows: "
+            f"{sorted(TABLE6A_ROWS)}"
+        )
+
     module, variables = create_model(arch, model_type=model_type)
     restored = load_checkpoint(ckpt_path)
     params, missing, unexpected = graft_params(

@@ -203,3 +203,19 @@ def test_pallas_layernorm_kernel_interpret_matches_xla():
         np.testing.assert_allclose(np.asarray(g), np.asarray(gref), atol=2e-4)
     finally:
         pln._INTERPRET = False
+
+
+def test_fused_ln_yields_to_tensor_parallelism(monkeypatch):
+    """Under tp the [3,E,E]->[3E,E] merge inside ln_dense would force GSPMD
+    to gather the model-sharded E axis; the tp-qkv policy wins over the
+    VTC_FUSED_LN opt-in."""
+    from vtc_tpu.models import layers
+
+    monkeypatch.setenv("VTC_FUSED_LN", "1")
+    assert layers.use_fused_ln(jnp.bfloat16)
+    layers.set_tp_qkv(True)
+    try:
+        assert not layers.use_fused_ln(jnp.bfloat16)
+    finally:
+        layers.set_tp_qkv(False)
+    assert layers.use_fused_ln(jnp.bfloat16)

@@ -185,3 +185,52 @@ def test_native_forced_on_garbage_returns_empty(tmp_path):
     _force("native")
     out = read_video_segment(str(bad), subsample_to=8)
     assert out.shape[0] == 0
+
+
+def test_handle_decode_empty_segment_returns_empty_not_none(video):
+    """n == 0 from the C worker is a SUCCESSFUL decode of an empty range —
+    an empty array, distinct from None (decode failure -> cv2 fallback)."""
+    path, w, h, fps, n = video
+    handle = native.open_video(path)
+    assert handle is not None
+    with handle:
+        out = handle.decode(n / fps + 30.0, n / fps + 32.0, w, h,
+                            subsample_to=4)
+    assert out is not None
+    assert out.shape == (0, h, w, 3)
+
+
+def test_auto_mode_empty_segment_skips_cv2_redecode(video, monkeypatch):
+    """A legitimately empty segment must not pay a second full cv2 open+decode
+    on the single-core host (the [0, 5] caller-level fallback still runs)."""
+    from vtc_tpu.data import video as vmod
+
+    calls = []
+    orig = vmod.cv2.VideoCapture
+
+    def spy(*a, **kw):
+        calls.append(a)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(vmod.cv2, "VideoCapture", spy)
+    path, w, h, fps, n = video
+    out = read_video_segment(path, n / fps + 30.0, n / fps + 32.0,
+                             subsample_to=4)
+    assert out.shape[0] == 0
+    assert not calls
+
+
+def test_forced_cv2_probe_never_builds(video, monkeypatch):
+    """VTC_DECODE=cv2 is an opt-out of the native worker: the start-offset
+    probe may use an already-built lib but must never trigger a g++ build."""
+    _force("cv2")
+    built = []
+    monkeypatch.setattr(native, "_build", lambda *a, **kw: built.append(a) or False)
+    monkeypatch.setattr(native, "DECODE_SO", native.DECODE_SO.parent / "nonexistent.so")
+    # reset the memoized lib so get_decode_lib would attempt a (re)build
+    monkeypatch.setattr(native, "_decode_lib", None)
+    monkeypatch.setattr(native, "_decode_tried", False)
+    path, w, h, fps, n = video
+    out = read_video_segment(path, 1.0, 2.0, subsample_to=4)
+    assert out.shape[0] > 0  # cv2 decoded it
+    assert not built

@@ -238,3 +238,13 @@ def test_stage_table6a_runs_end_to_end(tmp_path):
     assert res["ok"] and res["n"] >= 4
     for key in ("tvr_r1", "tvr_r5", "tvr_r10", "vtr_r1", "vtr_r5", "vtr_r10"):
         assert 0.0 <= res[key] <= 100.0
+
+
+def test_stage_table6a_validates_row_before_eval(tmp_path):
+    """A VTC_TABLE6A_ROW typo must fail before the multi-minute eval (and
+    name the valid rows), not at the final lookup."""
+    with pytest.raises(ValueError, match="VTC_TABLE6A_ROW"):
+        vrw.stage_table6a(
+            tmp_path / "missing.csv", tmp_path, tmp_path / "missing.ckpt",
+            table_row="img+title+cmts-2stage ",
+        )

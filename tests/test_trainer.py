@@ -710,3 +710,71 @@ def test_uint8_image_path_is_exact(tmp_path):
         state(), (jnp.asarray(batch_f32), title, comments), {}, key
     )
     np.testing.assert_allclose(float(loss_u8), float(loss_f32), rtol=1e-6)
+
+
+def test_graft_params_migrates_flat_qkv():
+    """Checkpoints written before the [3, E, E] qkv storage hold torch's
+    flat fused layout ([3E, E] weight / [3E] bias); graft_params migrates
+    them with an exact reshape (models/layers.py:173)."""
+    _, variables = create_model("PretrainedCLIP", model_type=TINY, seed=0)
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+
+    def to_legacy(path, leaf):
+        name = getattr(path[-1], "key", None)
+        if name == "in_proj_weight":
+            return leaf.reshape(-1, leaf.shape[-1])
+        if name == "in_proj_bias":
+            return leaf.reshape(-1)
+        return leaf
+
+    legacy = jax.tree_util.tree_map_with_path(to_legacy, params)
+    assert any(  # fixture sanity: at least one leaf actually went flat
+        l.ndim == 2 for l in jax.tree_util.tree_leaves(legacy)
+        if l.shape[:1] != (3,)
+    )
+    _, fresh = create_model("PretrainedCLIP", model_type=TINY, seed=7)
+    merged, missing, unexpected = graft_params(fresh["params"], legacy)
+    assert not missing and not unexpected
+    for a, b in zip(
+        jax.tree_util.tree_leaves(merged), jax.tree_util.tree_leaves(params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_across_optimizer_layout_recovers_schedule_step(tmp_path):
+    """A checkpoint holding the optax-chain optimizer state resumed into the
+    fused optimizer (leaf-layout mismatch): the moments reset, but the
+    lr-schedule position is recovered from the chain's step counter —
+    resuming a StepLR run at the undecayed base lr is the divergence risk."""
+    csv = _make_features_fixture(tmp_path)
+    config = _min_config(tmp_path, epochs=1)
+
+    module, variables = create_model(
+        "PretrainedCLIP_finaltf", model_type=TINY, freeze="all", seed=0
+    )
+    train_ds = _FeatureCommentDataset(csv, str(tmp_path / "vis.npz"), train=True)
+    loader = DataLoader(train_ds, batch_size=8, shuffle=True, drop_last=True,
+                        num_workers=0)
+    tx_chain = build_optimizer(
+        variables["params"], config["optimizer"], config["lr_scheduler"],
+        steps_per_epoch=len(loader), branch_to_freeze="all", fused=False,
+    )
+    t1 = Trainer(module, variables, clip_loss, [], tx_chain, config, loader,
+                 arch_name="PretrainedCLIP_finaltf")
+    t1.train()
+    ckpt = config.save_dir / "checkpoint-epoch1"
+    assert ckpt.exists()
+
+    config2 = _min_config(tmp_path, epochs=3)
+    config2.resume = ckpt
+    module2, variables2 = create_model(
+        "PretrainedCLIP_finaltf", model_type=TINY, freeze="all", seed=99
+    )
+    tx_fused = build_optimizer(
+        variables2["params"], config2["optimizer"], config2["lr_scheduler"],
+        steps_per_epoch=len(loader), branch_to_freeze="all",
+    )
+    t2 = Trainer(module2, variables2, clip_loss, [], tx_fused, config2, loader,
+                 arch_name="PretrainedCLIP_finaltf")
+    assert t2.start_epoch == 2
+    assert int(np.asarray(t2.state.opt_state.count)) == len(loader)

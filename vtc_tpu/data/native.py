@@ -212,8 +212,12 @@ class VideoHandle:
             out_w, out_h, subsample_to or 0, max_frames or 0,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
         )
-        if n <= 0:
+        if n < 0:
             return None
+        # n == 0 is a SUCCESSFUL decode with no frames in [start, end]
+        # (e.g. a segment before the stream start): an empty array, not
+        # None — re-decoding with the fallback backend would find the same
+        # nothing and the single-core host would pay a full extra open+decode
         return out[:n]
 
     def close(self):
@@ -271,9 +275,9 @@ def decode_segment(
         out_w, out_h, subsample_to or 0, max_frames or 0, nthreads,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
     )
-    if n <= 0:
+    if n < 0:
         return None
-    return out[:n]
+    return out[:n]  # n == 0: successful decode, empty segment (see above)
 
 
 def native_available() -> bool:

@@ -156,9 +156,13 @@ def read_video_segment(
     if start_sec > 0 or end_sec is not None:
         from . import native
 
-        info = native.probe_video(path)
-        if info is not None:
-            t0 = info[5]
+        # A forced-cv2 user opted out of the native worker (broken
+        # toolchain/libav, or avoiding the g++ build): only probe through a
+        # lib that already exists — never trigger a compile for metadata.
+        if backend != "cv2" or native.DECODE_SO.exists():
+            info = native.probe_video(path)
+            if info is not None:
+                t0 = info[5]
 
     def _process(frame):
         w, h = frame.shape[1], frame.shape[0]

@@ -64,8 +64,18 @@ def use_fused_ln(dtype) -> bool:
     fusions and the end-to-end bench is a wash (median 5936 vs 5981 pairs/s
     unfused, 3 clean-process runs each) — so XLA's native LayerNorm stays
     the default. Kept test-covered (tests/test_fused_ln.py) as the
-    documented alternative; see PERFORMANCE.md "LayerNorm exploration"."""
-    return dtype == jnp.bfloat16 and os.environ.get("VTC_FUSED_LN", "0") == "1"
+    documented alternative; see PERFORMANCE.md "LayerNorm exploration".
+
+    Single-chip only: under tensor parallelism the fused path's
+    [3,E,E]→[3E,E] qkv weight merge would force GSPMD to gather the
+    model-sharded E axis, reintroducing the resharding collectives the
+    [3,E,E] layout eliminates — so tp (``use_tp_qkv``) wins over the
+    fused-LN opt-in."""
+    return (
+        dtype == jnp.bfloat16
+        and os.environ.get("VTC_FUSED_LN", "0") == "1"
+        and not use_tp_qkv()
+    )
 
 
 def ln_dense(x, ln_scale, ln_bias, kernel, dense_bias, eps: float = 1e-5):

@@ -142,12 +142,24 @@ def graft_params(init_params, loaded_params, strict: bool = False):
 
     merged = dict(flat_init)
     for k in set(flat_init) & set(flat_load):
-        if flat_init[k].shape != flat_load[k].shape:
-            raise ValueError(
-                f"shape mismatch for {k}: {flat_init[k].shape} vs "
-                f"{flat_load[k].shape}"
-            )
-        merged[k] = flat_load[k]
+        leaf = flat_load[k]
+        if flat_init[k].shape != leaf.shape:
+            # qkv storage migration: checkpoints written before the
+            # [3, E, E] layout hold the torch-order flat fused qkv
+            # ([3E, E] weight / [3E] bias); the new storage keeps the same
+            # row order with an explicit (q,k,v) axis, so a reshape is
+            # exact (models/layers.py:173).
+            if (
+                k.rsplit("/", 1)[-1] in ("in_proj_weight", "in_proj_bias")
+                and leaf.size == flat_init[k].size
+            ):
+                leaf = leaf.reshape(flat_init[k].shape)
+            else:
+                raise ValueError(
+                    f"shape mismatch for {k}: {flat_init[k].shape} vs "
+                    f"{leaf.shape}"
+                )
+        merged[k] = leaf
     return _unflatten(merged), missing, unexpected
 
 

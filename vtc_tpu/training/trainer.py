@@ -540,11 +540,36 @@ class Trainer:
                     ],
                 )
             else:
-                self.logger.warning(
-                    "Optimizer state structure changed "
-                    "(%d vs %d leaves); not resuming it.",
-                    len(restored_leaves), len(live_leaves),
-                )
+                # Layout changed (e.g. a checkpoint from the optax-chain
+                # formulation resumed into the fused optimizer, or vice
+                # versa). The moments can't be mapped structurally, but the
+                # step count can: every optax/fused counter is a scalar int
+                # equal to the total steps taken, so recovering it keeps the
+                # lr schedule at its decayed position — resuming a StepLR
+                # run at the undecayed base lr is the divergence risk;
+                # fresh Adam moments re-warm within tens of steps.
+                counts = [
+                    int(np.asarray(leaf))
+                    for leaf in restored_leaves
+                    if np.ndim(leaf) == 0
+                    and np.issubdtype(np.asarray(leaf).dtype, np.integer)
+                ]
+                if counts and hasattr(opt_state, "count"):
+                    step = max(counts)
+                    opt_state = opt_state._replace(
+                        count=jnp.asarray(step, jnp.int32)
+                    )
+                    self.logger.warning(
+                        "Optimizer state layout changed (%d vs %d leaves): "
+                        "moments reset, lr schedule resumed at step %d.",
+                        len(restored_leaves), len(live_leaves), step,
+                    )
+                else:
+                    self.logger.warning(
+                        "Optimizer state structure changed "
+                        "(%d vs %d leaves); not resuming it.",
+                        len(restored_leaves), len(live_leaves),
+                    )
 
         self.state = self.state.replace(
             params=jax.tree_util.tree_map(jnp.asarray, params),
