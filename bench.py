@@ -114,8 +114,24 @@ def run(batch, iters, warmup, dtype_name, ntoks=16, windows=3):
 """
 
 
-def _subprocess_run(expr: str, extra_env=None, timeout=2400) -> float:
-    code = BENCH_CODE + f"\nprint('RESULT', {expr})\n"
+def _subprocess_run(
+    expr: str, extra_env=None, timeout=2400, force_cpu=False
+) -> float:
+    prelude = ""
+    if force_cpu:
+        # The sitecustomize registers the axon plugin and sets
+        # jax_platforms="axon,cpu" at CONFIG level in every process, so the
+        # JAX_PLATFORMS env var alone does NOT keep this subprocess off the
+        # TPU (and with the tunnel down it would hang in axon client
+        # creation). Re-update the config before first device use and
+        # assert the backend actually is CPU — a baseline silently measured
+        # through the tunnel would corrupt vs_baseline.
+        prelude = (
+            "import jax\n"
+            "jax.config.update('jax_platforms', 'cpu')\n"
+            "assert jax.default_backend() == 'cpu', jax.default_backend()\n"
+        )
+    code = prelude + BENCH_CODE + f"\nprint('RESULT', {expr})\n"
     env = dict(os.environ)
     # APPEND to PYTHONPATH: the axon sitecustomize lives on it — clobbering
     # would leave JAX_PLATFORMS=axon with no registered plugin
@@ -195,7 +211,7 @@ def _measure_cpu() -> float:
             pass
     val = _subprocess_run(
         "run(8, 2, 1, 'fp32', windows=1)", {"JAX_PLATFORMS": "cpu"},
-        timeout=1800,
+        timeout=1800, force_cpu=True,
     )
     CACHE.write_text(
         json.dumps({"pairs_per_sec": val, "ts": time.time(), "workload": key})

@@ -35,6 +35,15 @@ def add_irrelevant_comms(
     only the first row was ever populated — is fixed here)."""
     rng = np.random.default_rng(seed)
     bs, ncomms, ntoks = comments.shape
+    if bs < 2:
+        # a 1-element batch (e.g. the last batch without drop_last) has no
+        # *other* element to draw from — (i + 1) % 1 == i would silently
+        # append the item's OWN comments and dilute the robustness probe
+        raise ValueError(
+            "add_irrelevant_comms needs batches of >= 2 items to draw "
+            "irrelevant comments from; use a batch size that avoids "
+            "1-element remainders (or drop_last)"
+        )
     total = ncomms + num_irrelevant_comments
     updated = np.zeros((bs, total, ntoks), dtype=comments.dtype)
     for i in range(bs):

@@ -151,3 +151,31 @@ def test_eval_cli_irrelevant_comments(corpus):
     # left rows 1..n zeroed)
     np.testing.assert_array_equal(out[:, :2], comments)
     assert (np.abs(out[1:, 2:]).sum(axis=(1, 2)) > 0).all()
+
+
+def test_eval_cli_irrelevant_comments_rejects_singleton_batch(corpus):
+    """A 1-element batch has no other element to draw from; silently
+    appending the item's OWN comments would dilute the robustness probe."""
+    import importlib
+
+    eval_cli = importlib.import_module("eval")
+    comments = np.ones((1, 2, 77), np.int32)
+    with pytest.raises(ValueError, match=">= 2"):
+        eval_cli.add_irrelevant_comms(comments, 3)
+
+
+def test_eval_cli_irrelevant_comments_never_self(corpus):
+    """No appended comment may come from the item itself."""
+    import importlib
+
+    eval_cli = importlib.import_module("eval")
+    # give each batch element a unique constant token id so provenance of
+    # every appended comment is recoverable
+    bs, ncomms = 5, 2
+    comments = np.stack(
+        [np.full((ncomms, 77), i + 1, np.int32) for i in range(bs)]
+    )
+    out = eval_cli.add_irrelevant_comms(comments, 4, seed=3)
+    for i in range(bs):
+        appended = out[i, ncomms:]
+        assert (appended != i + 1).all(), f"row {i} drew its own comments"

@@ -133,3 +133,13 @@ def test_fused_mha_gradients():
     )(q, k, v)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_fused_mha_rejects_long_sequences_clearly():
+    """L > 128 cannot pack into the 128-row supertiles; the precondition
+    must fail with a clear message, not a negative-pad ValueError."""
+    from vtc_tpu.ops.pallas_attention import fused_mha
+
+    q = jnp.zeros((2, 197, 64), jnp.float32)
+    with pytest.raises(ValueError, match="L <= 128"):
+        fused_mha(q, q, q, heads=4)

@@ -253,3 +253,17 @@ def test_tree_shardings_rejects_indivisible_tp():
             tree_shardings(tree, mesh)
     finally:
         create_mesh(8, 1, devices=jax.devices())
+
+
+def test_tp_degree_must_divide_head_count():
+    """Parameter-dim divisibility alone cannot catch tp=8 on a 4-head tiny
+    tower (dims 32/128 all divide by 8); the trace-time check in
+    qkv_project must (zero-collective contract, parallel/mesh.py:15-18)."""
+    from vtc_tpu.models import layers
+
+    create_mesh(1, 8)  # sets the tp-qkv policy to degree 8
+    try:
+        with pytest.raises(ValueError, match="head count"):
+            create_model("PretrainedCLIP", model_type="test-tiny", seed=0)
+    finally:
+        layers.set_tp_qkv(False)

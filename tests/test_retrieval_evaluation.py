@@ -272,3 +272,21 @@ def test_fwd_cache_no_cross_model_hit():
         frames, caps, comments, needs_comments=False
     )
     np.testing.assert_array_equal(np.asarray(ta), np.asarray(ta3))
+
+
+class _AllFailDataset:
+    """Every item reports decode failure (frames is None)."""
+
+    def __len__(self):
+        return 4
+
+    def __getitem__(self, i):
+        return None, tk.tokenize(["caption"]), tk.tokenize(["c", "d"]), {}
+
+
+def test_retrieval_evaluation_all_decode_failures_raises_clearly(cam_model):
+    module, variables = cam_model
+    with pytest.raises(RuntimeError, match="no embeddings"):
+        retrieval_evaluation(
+            module, variables, "synthetic", "test", dataset=_AllFailDataset(),
+        )

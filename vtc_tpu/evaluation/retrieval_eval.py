@@ -33,24 +33,30 @@ N_COMMENTS = 5
 NFRAMES = 8
 
 
-def compute_recall(tensor_v, tensor_t, split="full-test", dataset_name="MSRVTT"):
-    """Bidirectional R@1/5/10 DataFrame (``retrieval_evaluation.py:23-47``)."""
-    recall_range = [1, 5, 10]
-    vtr = np.array(
-        [r for _, r in recall_at_k(tensor_v, tensor_t, recall_range)]
-    ) * 100.0
-    tvr = np.array(
-        [r for _, r in recall_at_k(tensor_t, tensor_v, recall_range)]
-    ) * 100.0
+RECALL_RANGE = (1, 5, 10)
+
+
+def _recall_df(vt_fracs, tv_fracs, dataset_name, split):
+    """Percent-scaled bidirectional recall table (one assembly for the
+    1-caption and ragged paths, so column naming/scaling cannot drift)."""
     df = pd.DataFrame(
         {
-            f"{dataset_name} {split} split Video to Text": tvr,
-            f"{dataset_name} {split} split Text to Video": vtr,
+            f"{dataset_name} {split} split Video to Text":
+                np.asarray(vt_fracs) * 100.0,
+            f"{dataset_name} {split} split Text to Video":
+                np.asarray(tv_fracs) * 100.0,
         },
-        index=[f"R@{i}" for i in recall_range],
+        index=[f"R@{k}" for k in RECALL_RANGE],
     )
     logger.info("%s", df)
     return df
+
+
+def compute_recall(tensor_v, tensor_t, split="full-test", dataset_name="MSRVTT"):
+    """Bidirectional R@1/5/10 DataFrame (``retrieval_evaluation.py:23-47``)."""
+    vtr = [r for _, r in recall_at_k(tensor_v, tensor_t, RECALL_RANGE)]
+    tvr = [r for _, r in recall_at_k(tensor_t, tensor_v, RECALL_RANGE)]
+    return _recall_df(tvr, vtr, dataset_name, split)
 
 
 def _bucket(n: int, minimum: int = 1) -> int:
@@ -167,7 +173,6 @@ def retrieval_evaluation(
 
     if needs_comments is None:
         needs_comments = hasattr(module, "branch_to_adapt_val")
-    is_video_model = True  # every exported retrieval model accepts chunks
 
     fwd = make_eval_forward(module, variables, branch_override)
 
@@ -194,7 +199,7 @@ def retrieval_evaluation(
             # retrieval_evaluation.py:165-172)
             chunks = _ensure_preprocessed(np.asarray(frames)[0:1], image_size)
             assert not first_chunk_only
-        elif is_video_model:
+        else:  # every exported retrieval model accepts chunked video
             chunks = chunk_frames(np.asarray(frames), frame_stride)
             if first_chunk_only:
                 chunks = chunks[0:1]
@@ -237,6 +242,16 @@ def retrieval_evaluation(
         video_embs.append(np.asarray(fv)[:nchunk])
         caption_embs.append(np.asarray(ft)[:ncap])
 
+    if not video_embs:
+        # Every item was skipped (frames is None on decode failure) or the
+        # split is empty — fail with the real condition instead of an
+        # opaque max()/np.stack error below.
+        raise RuntimeError(
+            f"retrieval evaluation produced no embeddings: all "
+            f"{len(dataset)} items of {datasetname}/{split} failed to "
+            f"decode or the split is empty (check the data root paths)"
+        )
+
     # mean over chunk embeddings per video
     max_len = max(c.shape[0] for c in caption_embs)
     video_tensor = np.stack([v.mean(axis=0) for v in video_embs])
@@ -259,24 +274,17 @@ def retrieval_evaluation(
             dataset_name=datasetname,
         )
     else:
-        from ..ops.retrieval import recall_at_k as _rk
-
-        recall_range = [1, 5, 10]
-        tvr = np.array(
-            [r for _, r in _rk(video_tensor, flat_caps, recall_range,
-                               targets=flat_targets)]
-        ) * 100.0
+        tvr = [
+            r for _, r in recall_at_k(
+                video_tensor, flat_caps, RECALL_RANGE, targets=flat_targets
+            )
+        ]
         # video->text: rank captions, a video hits if any of its captions is
         # retrieved in top-k
-        vt_hits = _vt_recall(video_tensor, flat_caps, flat_targets, recall_range)
-        outdf = pd.DataFrame(
-            {
-                f"{datasetname} {split} split Video to Text": vt_hits * 100.0,
-                f"{datasetname} {split} split Text to Video": tvr,
-            },
-            index=[f"R@{i}" for i in recall_range],
+        vt_hits = _vt_recall(
+            video_tensor, flat_caps, flat_targets, RECALL_RANGE
         )
-        logger.info("%s", outdf)
+        outdf = _recall_df(vt_hits, tvr, datasetname, split)
 
     if out_csv is not None:
         outdf.to_csv(out_csv)

@@ -232,7 +232,9 @@ class MultiHeadAttention(nn.Module):
             )
             q, k, v = jnp.split(qkv, 3, axis=-1)
         else:
-            q, k, v = qkv_project(x, in_proj_weight, in_proj_bias, self.dtype)
+            q, k, v = qkv_project(
+                x, in_proj_weight, in_proj_bias, self.dtype, num_heads=h
+            )
 
         fold = self.seq_fold
         if fold != 1 and x.ndim == 3:
@@ -436,17 +438,31 @@ class TorchBatchNorm(nn.Module):
 
 
 _TP_QKV = False
+_TP_DEGREE = 1
 
 
-def set_tp_qkv(enabled: bool) -> None:
+def set_tp_qkv(enabled: bool, degree: Optional[int] = None) -> None:
     """Select the qkv projection form for subsequently traced models.
     ``parallel.mesh.create_mesh`` calls this with ``n_model > 1`` — creating
     a tp mesh enables the per-projection dots, and creating a later
     single-model-axis mesh switches back to the merged GEMM (the flag tracks
     the newest mesh rather than latching on, so tp work in a process does
-    not degrade later single-chip traces)."""
-    global _TP_QKV
+    not degrade later single-chip traces).
+
+    ``degree`` records the model-axis size so attention can verify at trace
+    time that it divides the tower's head count — the one place the head
+    count is actually known (``tree_shardings`` can only check parameter-dim
+    divisibility, which e.g. tp=8 on a 12-head tower passes while splitting
+    mid-head)."""
+    global _TP_QKV, _TP_DEGREE
     _TP_QKV = bool(enabled)
+    _TP_DEGREE = int(degree) if degree else (2 if enabled else 1)
+
+
+def tp_qkv_degree() -> int:
+    """Model-axis size of the newest tp mesh (1 when tp is off or the
+    degree is unknown, e.g. the ``VTC_TP_QKV=1`` force)."""
+    return _TP_DEGREE if _TP_QKV else 1
 
 
 def use_tp_qkv() -> bool:
@@ -460,13 +476,27 @@ def use_tp_qkv() -> bool:
     return _TP_QKV or os.environ.get("VTC_TP_QKV") == "1"
 
 
-def qkv_project(x, in_proj_weight, in_proj_bias, dtype):
+def qkv_project(x, in_proj_weight, in_proj_bias, dtype, num_heads=None):
     """The [3, E, E] fused-qkv projection, in the form ``use_tp_qkv``
     selects (see :class:`MultiHeadAttention` for the layout rationale).
     Shared by every attention variant so the tp-gated policy lives in ONE
-    place. Returns ``(q, k, v)``, each [..., L, E] in ``dtype``."""
+    place. Returns ``(q, k, v)``, each [..., L, E] in ``dtype``.
+
+    ``num_heads`` (when the caller knows it) lets the tp path verify the
+    model-axis degree divides the head count — the zero-collective property
+    needs the E row split to land on head boundaries, and parameter-dim
+    divisibility alone cannot catch e.g. tp=8 on a 12-head tower."""
     e = in_proj_weight.shape[-1]
     if use_tp_qkv():
+        deg = tp_qkv_degree()
+        if num_heads is not None and deg > 1 and num_heads % deg:
+            raise ValueError(
+                f"tensor-parallel degree {deg} does not divide this tower's "
+                f"head count {num_heads}: the model-axis row split would "
+                f"cross head boundaries and GSPMD would reshard (pick a tp "
+                f"that divides every tower's head count; ViT-B/32: 12 "
+                f"visual + 8 text heads -> tp in {{2, 4}})"
+            )
         # tensor-parallel form: three LOCAL dots against the per-j weight
         # slices — each [E, E] slice is row-sharded on head boundaries by
         # P(None, "model", None), so no collective touches qkv at all.

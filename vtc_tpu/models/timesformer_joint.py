@@ -69,7 +69,9 @@ class _FactorizedAttention(nn.Module):
 
         from .layers import qkv_project
 
-        q, k, v = qkv_project(x, in_proj_weight, in_proj_bias, self.dtype)
+        q, k, v = qkv_project(
+            x, in_proj_weight, in_proj_bias, self.dtype, num_heads=h
+        )
 
         def heads(z):  # [b, L, e] -> [b*h, L, hd]
             z = z.reshape(b, L, h, head_dim)

@@ -224,11 +224,17 @@ def _fused_mha_fwd_impl(q, k, v, heads: int, causal: bool, scale: float,
                         block_b: int, interpret: bool):
     interpret = interpret or jax.default_backend() == "cpu"
     b, l, e = q.shape
+    if l > 128:
+        raise ValueError(
+            f"fused_mha packs sequences into 128-row supertiles and supports "
+            f"L <= 128 (got L={l}); use the XLA attention path for longer "
+            f"sequences (it wins at these shapes anyway — PERFORMANCE.md "
+            f"'Pallas kernel exploration')"
+        )
     # pad L to a power-of-two divisor of 128 so supertiles pack exactly
     lp = 1
     while lp < l:
         lp *= 2
-    lp = min(lp, 128)
 
     # block_b = supertiles per grid step (each supertile is 128 rows)
     rows_per_step = 128 * block_b

@@ -179,11 +179,9 @@ def _topk_hits_chunked(gallery, queries, targets, max_k: int, chunk: int):
     def scan_body(carry, tile_idx_and_g):
         best_scores, best_idx = carry
         tile_i, g = tile_idx_and_g
-        dots = jnp.matmul(q, g.astype(jnp.float32).T,
-                          preferred_element_type=jnp.float32)
-        g_sq = 0.5 * jnp.sum(g.astype(jnp.float32) ** 2, axis=-1)
-        scores = dots - g_sq[None, :]
-        scores = jnp.where(jnp.isfinite(scores), scores, -jnp.inf)
+        # one scoring definition for the dense and streamed paths — a
+        # change to the L2/non-finite semantics must apply to both
+        scores = _l2_scores(g, q)
         idx = tile_i * chunk + jnp.arange(chunk)[None, :]
         merged_scores = jnp.concatenate([best_scores, scores], axis=-1)
         merged_idx = jnp.concatenate(

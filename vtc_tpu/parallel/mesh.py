@@ -48,7 +48,7 @@ def create_mesh(
     # (the flag tracks the newest mesh — see layers.set_tp_qkv).
     from ..models import layers
 
-    layers.set_tp_qkv(n_model > 1)
+    layers.set_tp_qkv(n_model > 1, n_model)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
