@@ -199,10 +199,17 @@ int decode_on(Demux& d, double start_sec, double end_sec, int out_w,
     if (max_frames > 0 && n_inrange >= max_frames) done = true;
   };
 
+  // distinguishes "decoded frames, none in [start, end]" (a legitimately
+  // empty segment, return 0) from "the decoder produced NOTHING" (corrupt /
+  // unsupported bitstream this libav demuxes but cannot decode — return an
+  // error so the caller's fallback decoder gets a try)
+  long n_decoded = 0;
+
   while (!done && err == 0 && av_read_frame(d.fmt, pkt) >= 0) {
     if (pkt->stream_index == d.stream &&
         avcodec_send_packet(d.dec, pkt) >= 0) {
       while (err == 0 && avcodec_receive_frame(d.dec, frame) >= 0) {
+        ++n_decoded;
         handle_frame(frame);
         if (done) break;
       }
@@ -211,9 +218,12 @@ int decode_on(Demux& d, double start_sec, double end_sec, int out_w,
   }
   if (!done && err == 0) {  // drain delayed frames
     avcodec_send_packet(d.dec, nullptr);
-    while (!done && err == 0 && avcodec_receive_frame(d.dec, frame) >= 0)
+    while (!done && err == 0 && avcodec_receive_frame(d.dec, frame) >= 0) {
+      ++n_decoded;
       handle_frame(frame);
+    }
   }
+  if (err == 0 && n_decoded == 0) err = -10;  // nothing decodable at all
 
   if (err == 0 && subsample_to > 0 && n_inrange > 0) {
     int navail = buffer_refs ? static_cast<int>(kept.size())

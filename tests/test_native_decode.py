@@ -166,8 +166,8 @@ def test_cv2_rebases_absolute_pts_by_start_offset(video, monkeypatch):
 
     real_probe = native_mod.probe_video
 
-    def offset_probe(p):
-        info = real_probe(p)
+    def offset_probe(p, **kw):
+        info = real_probe(p, **kw)
         assert info is not None and abs(info[5]) < 1e-6
         return info[:5] + (1.0,)
 
@@ -234,3 +234,25 @@ def test_forced_cv2_probe_never_builds(video, monkeypatch):
     out = read_video_segment(path, 1.0, 2.0, subsample_to=4)
     assert out.shape[0] > 0  # cv2 decoded it
     assert not built
+
+
+def test_load_stale_so_without_build_permission(tmp_path, monkeypatch):
+    """allow_build=False loads an existing (even stale) .so but never
+    invokes the compiler — the forced-cv2 probe path."""
+    import shutil
+
+    assert native.DECODE_SO.exists()
+    src = tmp_path / "vtc_decode.cpp"
+    so = tmp_path / "lib.so"
+    shutil.copy(native.DECODE_SRC, src)
+    shutil.copy(native.DECODE_SO, so)
+    # make the source newer than the .so (stale artifact)
+    os.utime(src, (so.stat().st_mtime + 100, so.stat().st_mtime + 100))
+
+    built = []
+    monkeypatch.setattr(native, "_build", lambda *a, **kw: built.append(a) or False)
+    lib = native._load(src, so, allow_build=False)
+    assert lib is not None and not built
+    # with permission, the same staleness triggers the build
+    native._load(src, so, allow_build=True)
+    assert built

@@ -778,3 +778,63 @@ def test_resume_across_optimizer_layout_recovers_schedule_step(tmp_path):
                  arch_name="PretrainedCLIP_finaltf")
     assert t2.start_epoch == 2
     assert int(np.asarray(t2.state.opt_state.count)) == len(loader)
+
+
+def test_graft_params_rejects_transposed_qkv():
+    """Only the exact legacy flat layout migrates; a same-size but
+    differently-laid-out export ([E, 3E] transposed) must fail loudly, not
+    be scrambled by reinterpretation."""
+    _, variables = create_model("PretrainedCLIP", model_type=TINY, seed=0)
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+
+    def transpose_qkv(path, leaf):
+        name = getattr(path[-1], "key", None)
+        if name == "in_proj_weight":
+            return leaf.reshape(-1, leaf.shape[-1]).T.copy()  # [E, 3E]
+        return leaf
+
+    bad = jax.tree_util.tree_map_with_path(transpose_qkv, params)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        graft_params(variables["params"], bad)
+
+
+def test_resume_fused_into_chain_recovers_schedule_step(tmp_path):
+    """The reverse direction (fused checkpoint -> optax-chain trainer) also
+    recovers the schedule position: every scalar-int counter in the chain
+    state is set to the recovered step."""
+    csv = _make_features_fixture(tmp_path)
+    config = _min_config(tmp_path, epochs=1)
+
+    module, variables = create_model(
+        "PretrainedCLIP_finaltf", model_type=TINY, freeze="all", seed=0
+    )
+    train_ds = _FeatureCommentDataset(csv, str(tmp_path / "vis.npz"), train=True)
+    loader = DataLoader(train_ds, batch_size=8, shuffle=True, drop_last=True,
+                        num_workers=0)
+    tx_fused = build_optimizer(
+        variables["params"], config["optimizer"], config["lr_scheduler"],
+        steps_per_epoch=len(loader), branch_to_freeze="all",
+    )
+    t1 = Trainer(module, variables, clip_loss, [], tx_fused, config, loader,
+                 arch_name="PretrainedCLIP_finaltf")
+    t1.train()
+
+    config2 = _min_config(tmp_path, epochs=3)
+    config2.resume = config.save_dir / "checkpoint-epoch1"
+    # fresh variables: t1's train step donated the originals
+    module2, variables2 = create_model(
+        "PretrainedCLIP_finaltf", model_type=TINY, freeze="all", seed=99
+    )
+    tx_chain = build_optimizer(
+        variables2["params"], config2["optimizer"], config2["lr_scheduler"],
+        steps_per_epoch=len(loader), branch_to_freeze="all", fused=False,
+    )
+    t2 = Trainer(module2, variables2, clip_loss, [], tx_chain, config2, loader,
+                 arch_name="PretrainedCLIP_finaltf")
+    counts = [
+        int(np.asarray(leaf))
+        for leaf in jax.tree_util.tree_leaves(t2.state.opt_state)
+        if np.ndim(leaf) == 0
+        and np.issubdtype(np.asarray(leaf).dtype, np.integer)
+    ]
+    assert counts and all(c == len(loader) for c in counts)

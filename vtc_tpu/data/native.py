@@ -48,13 +48,17 @@ def _build(src: Path, so: Path, extra_flags=()) -> bool:
         return False
 
 
-def _load(src: Path, so: Path, extra_flags=()) -> Optional[ctypes.CDLL]:
+def _load(
+    src: Path, so: Path, extra_flags=(), allow_build: bool = True
+) -> Optional[ctypes.CDLL]:
     # a prebuilt .so without the .cpp source is usable as-is (deployed
-    # artifact); only rebuild when the source exists and is newer
+    # artifact); only rebuild when the source exists and is newer.
+    # allow_build=False (e.g. a forced-cv2 user's metadata probe) loads an
+    # existing .so — even a stale one — but never invokes the compiler.
     stale = src.exists() and (
         not so.exists() or so.stat().st_mtime < src.stat().st_mtime
     )
-    if stale and not _build(src, so, extra_flags):
+    if stale and allow_build and not _build(src, so, extra_flags):
         return None
     if not so.exists():
         return None
@@ -90,24 +94,28 @@ def get_lib() -> Optional[ctypes.CDLL]:
         return _lib
 
 
-def get_decode_lib() -> Optional[ctypes.CDLL]:
+def get_decode_lib(allow_build: bool = True) -> Optional[ctypes.CDLL]:
     """The first-party libav decode worker (``native/vtc_decode.cpp``).
 
     Links against the system libav (-lavformat -lavcodec -lavutil
     -lswscale); returns None when the toolchain or libav is unavailable —
-    callers fall back to the OpenCV path.
-    """
+    callers fall back to the OpenCV path. ``allow_build=False`` loads an
+    already-built .so but never invokes the compiler (and does NOT memoize
+    a miss, so a later allow_build=True call still gets its build)."""
     global _decode_lib, _decode_tried
     with _lock:
         if _decode_lib is not None or _decode_tried:
             return _decode_lib
-        _decode_tried = True
         lib = _load(
             DECODE_SRC, DECODE_SO,
             ("-lavformat", "-lavcodec", "-lavutil", "-lswscale"),
+            allow_build=allow_build,
         )
         if lib is None:
+            if allow_build:
+                _decode_tried = True  # a real build attempt failed: memoize
             return None
+        _decode_tried = True
         u8p = ctypes.POINTER(ctypes.c_uint8)
         info_ptrs = [
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
@@ -158,12 +166,13 @@ def _unpack_info(getter) -> Optional[tuple]:
     return w.value, h.value, fps.value, dur.value, nbf.value, t0.value
 
 
-def probe_video(path: str):
+def probe_video(path: str, allow_build: bool = True):
     """(width, height, fps, duration_sec, nb_frames, start_sec) or None on
     failure. Metadata only — no decoder is initialized. ``start_sec`` is
     the container/stream start offset (absolute-pts segment endpoints minus
-    this give the cv2 CAP_PROP_POS_MSEC domain)."""
-    lib = get_decode_lib()
+    this give the cv2 CAP_PROP_POS_MSEC domain). ``allow_build=False``
+    (forced-cv2 callers) never invokes the compiler for metadata."""
+    lib = get_decode_lib(allow_build=allow_build)
     if lib is None:
         return None
     return _unpack_info(

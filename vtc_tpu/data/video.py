@@ -157,12 +157,11 @@ def read_video_segment(
         from . import native
 
         # A forced-cv2 user opted out of the native worker (broken
-        # toolchain/libav, or avoiding the g++ build): only probe through a
-        # lib that already exists — never trigger a compile for metadata.
-        if backend != "cv2" or native.DECODE_SO.exists():
-            info = native.probe_video(path)
-            if info is not None:
-                t0 = info[5]
+        # toolchain/libav, or avoiding the g++ build): the probe may use an
+        # already-built lib but never triggers a compile for metadata.
+        info = native.probe_video(path, allow_build=backend != "cv2")
+        if info is not None:
+            t0 = info[5]
 
     def _process(frame):
         w, h = frame.shape[1], frame.shape[0]

@@ -456,7 +456,9 @@ def set_tp_qkv(enabled: bool, degree: Optional[int] = None) -> None:
     mid-head)."""
     global _TP_QKV, _TP_DEGREE
     _TP_QKV = bool(enabled)
-    _TP_DEGREE = int(degree) if degree else (2 if enabled else 1)
+    # unknown degree (legacy one-arg callers) -> 1: validation is skipped
+    # rather than armed with a guess (tp_qkv_degree's contract)
+    _TP_DEGREE = int(degree) if degree else 1
 
 
 def tp_qkv_degree() -> int:

@@ -149,11 +149,22 @@ def graft_params(init_params, loaded_params, strict: bool = False):
             # ([3E, E] weight / [3E] bias); the new storage keeps the same
             # row order with an explicit (q,k,v) axis, so a reshape is
             # exact (models/layers.py:173).
-            if (
-                k.rsplit("/", 1)[-1] in ("in_proj_weight", "in_proj_bias")
-                and leaf.size == flat_init[k].size
-            ):
-                leaf = leaf.reshape(flat_init[k].shape)
+            name = k.rsplit("/", 1)[-1]
+            want = flat_init[k].shape
+            legacy = (
+                # weight: [3E, E] -> [3, E, E]; bias: [3E] -> [3, E].
+                # EXACTLY these shapes — any other same-size layout (e.g. a
+                # transposed [E, 3E] export) must still fail loudly rather
+                # than be scrambled by reinterpretation.
+                (name == "in_proj_weight"
+                 and len(want) == 3 and want[0] == 3 and want[1] == want[2]
+                 and leaf.shape == (3 * want[1], want[2]))
+                or (name == "in_proj_bias"
+                    and len(want) == 2 and want[0] == 3
+                    and leaf.shape == (3 * want[1],))
+            )
+            if legacy:
+                leaf = leaf.reshape(want)
             else:
                 raise ValueError(
                     f"shape mismatch for {k}: {flat_init[k].shape} vs "

@@ -548,16 +548,26 @@ class Trainer:
                 # lr schedule at its decayed position — resuming a StepLR
                 # run at the undecayed base lr is the divergence risk;
                 # fresh Adam moments re-warm within tens of steps.
+                def _is_count(leaf):
+                    return np.ndim(leaf) == 0 and np.issubdtype(
+                        np.asarray(leaf).dtype, np.integer
+                    )
+
                 counts = [
                     int(np.asarray(leaf))
                     for leaf in restored_leaves
-                    if np.ndim(leaf) == 0
-                    and np.issubdtype(np.asarray(leaf).dtype, np.integer)
+                    if _is_count(leaf)
                 ]
-                if counts and hasattr(opt_state, "count"):
+                if counts and any(_is_count(leaf) for leaf in live_leaves):
+                    # set EVERY scalar-int counter in the live state (the
+                    # fused state's single count, or the chain's per-group
+                    # adam/schedule counts — they all advance in lockstep)
                     step = max(counts)
-                    opt_state = opt_state._replace(
-                        count=jnp.asarray(step, jnp.int32)
+                    opt_state = jax.tree_util.tree_map(
+                        lambda leaf: jnp.asarray(
+                            step, np.asarray(leaf).dtype
+                        ) if _is_count(leaf) else leaf,
+                        opt_state,
                     )
                     self.logger.warning(
                         "Optimizer state layout changed (%d vs %d leaves): "
