@@ -89,12 +89,10 @@ def run(batch, iters, warmup, dtype_name, ntoks=16, windows=3):
     # realistic text lengths: VTC titles/comments are short (~15 BPE tokens)
     # and the eval CLI truncates to the EOT bucket (exactness-preserving —
     # the causal tower never reads past EOT); ntoks=77 is the worst case.
+    from vtc_tpu.data.tokenizer import synthetic_tokens
+
     def make_tokens(lead, n_real=14):
-        toks = np.zeros(lead + (ntoks,), np.int32)
-        toks[..., 0] = 49406
-        toks[..., 1 : 1 + n_real] = rng.integers(1, 49405, lead + (n_real,))
-        toks[..., 1 + n_real] = 49407
-        return jnp.asarray(toks)
+        return jnp.asarray(synthetic_tokens(lead, ntoks, n_real, rng))
 
     title = make_tokens((batch,))
     comments = make_tokens((batch, 5))

@@ -37,10 +37,12 @@ def make_corpus(root, n_videos=48, frames=240, w=480, h=360, fps=30):
     rng = np.random.default_rng(0)
     rows = []
     for i in range(n_videos):
-        rid_str = "vd" + BASE36[(i * 7) % 36] + BASE36[i % 36]
+        # two base36 digits of i: unique for n_videos <= 1296 (a single
+        # mixed digit collided with period 36 and silently shrank the
+        # corpus the throughput was measured on)
+        rid_str = "vd" + BASE36[(i // 36) % 36] + BASE36[i % 36]
         rid = int(rid_str, 36)
-        if any(r["reddit_id"] == rid for r in rows):
-            continue
+        assert not any(r["reddit_id"] == rid for r in rows), rid_str
         path = os.path.join(vids, f"{rid_str}.mp4")
         vw = cv2.VideoWriter(
             path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)

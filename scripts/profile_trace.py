@@ -42,12 +42,10 @@ def capture(batch=160, ntoks=16, iters=8):
             rng.normal(size=(batch, 3, 224, 224)).astype(np.float32)
         ).astype(jnp.bfloat16)
 
+    from vtc_tpu.data.tokenizer import synthetic_tokens
+
     def make_tokens(lead, n_real=14):
-        toks = np.zeros(lead + (ntoks,), np.int32)
-        toks[..., 0] = 49406
-        toks[..., 1:1 + n_real] = rng.integers(1, 49405, lead + (n_real,))
-        toks[..., 1 + n_real] = 49407
-        return jnp.asarray(toks)
+        return jnp.asarray(synthetic_tokens(lead, ntoks, n_real, rng))
 
     title = make_tokens((batch,))
     comments = make_tokens((batch, 5))

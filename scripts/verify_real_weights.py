@@ -199,10 +199,8 @@ def stage_zero_shot(
     from vtc_tpu.data.loader import DataLoader
     from vtc_tpu.models import create_model
 
-    if weights_path is not None and os.path.isdir(weights_path):
-        # HF directories go through the HF importer (torch.load on a
-        # directory raises); graft after a weight-less construction
-        weights_path = None
+    # the factory handles both openai .pt archives and HuggingFace CLIPModel
+    # directories (models/factory.py routes directories to import_hf_clip)
     module, variables = create_model(
         "PretrainedCLIP", model_type="ViT-B/32", clip_weights=weights_path
     )

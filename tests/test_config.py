@@ -132,3 +132,37 @@ def test_resume_reads_run_config(tmp_path):
         sys.argv = argv
     assert config2["name"] == "testexp"
     assert str(config2.resume) == str(ckpt)
+
+
+def test_device_flag_sets_mesh_device_count(tmp_path):
+    """-d/--device selects the number of mesh devices (the TPU analogue of
+    the reference's CUDA_VISIBLE_DEVICES flag); --n_devices wins when both
+    are given; the reference's id-list form counts entries."""
+    import argparse
+
+    from vtc_tpu.config import ConfigParser, CustomArgs
+
+    cfg = tmp_path / "c.json"
+    cfg.write_text(json.dumps({"name": "x", "trainer": {"save_dir": str(tmp_path)}}))
+
+    def parse(argv):
+        p = argparse.ArgumentParser()
+        p.add_argument("-c", "--config", default=None, type=str)
+        p.add_argument("-r", "--resume", default=None, type=str)
+        p.add_argument("-d", "--device", default=None, type=str)
+        import sys
+
+        old = sys.argv
+        sys.argv = ["t"] + argv
+        try:
+            return ConfigParser.from_args(
+                p, [CustomArgs(["--n_devices"], type=int, target="n_devices")]
+            )
+        finally:
+            sys.argv = old
+
+    assert parse(["-c", str(cfg), "-d", "4"])["n_devices"] == 4
+    assert parse(["-c", str(cfg), "-d", "0,1"])["n_devices"] == 2
+    assert parse(
+        ["-c", str(cfg), "-d", "4", "--n_devices", "2"]
+    )["n_devices"] == 2

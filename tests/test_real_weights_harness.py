@@ -248,3 +248,48 @@ def test_stage_table6a_validates_row_before_eval(tmp_path):
             tmp_path / "missing.csv", tmp_path, tmp_path / "missing.ckpt",
             table_row="img+title+cmts-2stage ",
         )
+
+
+def test_factory_loads_hf_clip_directory(tmp_path):
+    """create_model(clip_weights=<HF dir>) — and therefore the
+    VTC_CLIP_WEIGHTS env var pointing at an HF snapshot — routes through
+    import_hf_clip instead of crashing in torch.load(directory)."""
+    pytest.importorskip("transformers")
+    import torch
+    from transformers import CLIPConfig, CLIPModel
+
+    config = CLIPConfig(
+        projection_dim=32,
+        text_config=dict(
+            vocab_size=49408, hidden_size=64, intermediate_size=256,
+            num_hidden_layers=2, num_attention_heads=4,
+            max_position_embeddings=77, hidden_act="quick_gelu",
+            eos_token_id=49407, bos_token_id=49406,
+        ),
+        vision_config=dict(
+            hidden_size=64, intermediate_size=256, num_hidden_layers=2,
+            num_attention_heads=4, image_size=32, patch_size=8,
+            hidden_act="quick_gelu",
+        ),
+    )
+    torch.manual_seed(0)
+    hf = CLIPModel(config).eval()
+    hf.save_pretrained(tmp_path / "hf_clip")
+
+    from vtc_tpu.models import create_model
+    from vtc_tpu.models.torch_import import import_hf_clip
+
+    _, variables = create_model(
+        "PretrainedCLIP", model_type="test-tiny",
+        clip_weights=str(tmp_path / "hf_clip"),
+    )
+    want = import_hf_clip(hf.state_dict())
+    got = variables["params"]["clip"]
+    np.testing.assert_allclose(
+        np.asarray(got["visual"]["proj"]), np.asarray(want["visual"]["proj"]),
+        atol=0,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["text"]["text_projection"]),
+        np.asarray(want["text"]["text_projection"]), atol=0,
+    )

@@ -67,3 +67,41 @@ def test_service_text_and_image_search():
     ids, scores = service.search_text(tokens, k=5)
     assert ids.shape == (1, 5)
     assert np.isfinite(scores).all()
+
+
+def test_index_sharded_gallery_arbitrary_size():
+    """The mesh-sharded gallery pads to the data-axis multiple with -inf
+    rows (real corpora are never chip-count multiples); pad rows rank last
+    and surface as id -1 only when k exceeds the real corpus."""
+    from vtc_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh(8, 1)
+    rng = np.random.default_rng(0)
+    emb = rng.normal(size=(103, 16)).astype(np.float32)
+    ids = np.arange(1000, 1103)
+    index = RetrievalIndex(16, mesh=mesh)
+    index.add(emb, ids)
+    assert len(index) == 103
+
+    q = emb[[5, 50, 102]]
+    got_ids, scores = index.search(q, k=4)
+    np.testing.assert_array_equal(got_ids[:, 0], [1005, 1050, 1102])
+    assert np.isfinite(scores).all()
+    assert len(index) == 103  # search does not change the logical size
+
+    # shard-exact vs unsharded ranking
+    plain = RetrievalIndex(16)
+    plain.add(emb, ids)
+    got_plain, _ = plain.search(q, k=4)
+    np.testing.assert_array_equal(got_ids, got_plain)
+
+    # k > real rows: the pad tail is id -1, never a phantom row
+    tiny = RetrievalIndex(16, mesh=mesh)
+    tiny.add(emb[:3], ids[:3])
+    t_ids, t_scores = tiny.search(emb[[0]], k=8)
+    assert (t_ids[0, 3:] == -1).all()
+    assert set(t_ids[0, :3]) == {1000, 1001, 1002}
+
+    # re-open and save exclude the padding
+    tiny.add(emb[3:5], ids[3:5])
+    assert len(tiny) == 5

@@ -99,9 +99,19 @@ def main(config: ConfigParser):
     mesh = None
     import jax
 
-    if n_devices * n_model > 1 and len(jax.devices()) >= n_devices * n_model:
-        mesh = create_mesh(n_devices, n_model)
-        logger.info("Mesh: %s", mesh)
+    if n_devices * n_model > 1:
+        if len(jax.devices()) >= n_devices * n_model:
+            mesh = create_mesh(n_devices, n_model)
+            logger.info("Mesh: %s", mesh)
+        else:
+            # the reference warns on a device shortfall (utils/util.py:78-98)
+            # — a misconfigured multi-chip run should be diagnosed, not
+            # silently slow
+            logger.warning(
+                "Requested a %dx%d mesh but only %d device(s) are "
+                "available; training UNSHARDED on one device.",
+                n_devices, n_model, len(jax.devices()),
+            )
 
     criterion = LOSSES[config["loss"]]
     metrics = [

@@ -119,6 +119,15 @@ class ConfigParser:
             long_flags = [f for f in opt.flags if f.startswith("--")]
             dest = (long_flags[0] if long_flags else opt.flags[0]).lstrip("-").replace("-", "_")
             modification[opt.target] = parsed_vars[dest]
+        # -d/--device selects the number of mesh (data-axis) devices — the
+        # TPU analogue of the reference's CUDA_VISIBLE_DEVICES flag (see
+        # module docstring). An explicit --n_devices override wins.
+        device = parsed_vars.get("device")
+        if device is not None and modification.get("n_devices") is None:
+            # accept both a count ("-d 4") and the reference's id-list
+            # form ("-d 0,1" meant two GPUs -> two mesh devices)
+            n = len(device.split(",")) if "," in str(device) else int(device)
+            modification["n_devices"] = n
         return cls(config, resume, modification)
 
     # -- reflective construction ------------------------------------------

@@ -313,3 +313,17 @@ def truncate_to_eot_bucket(tokens: np.ndarray, buckets=(16, 32, 48, 64, 77)):
         if need <= b:
             return tokens[..., :b]
     return tokens
+
+
+def synthetic_tokens(lead, ntoks: int = 16, n_real: int = 14, rng=None):
+    """[SOT, n_real random ids, EOT, zero pad] int32 of shape lead+(ntoks,)
+    — the shared benchmark/profiling token fixture (bench.py and every
+    scripts/bench_*/profile_* harness build inputs from this ONE definition
+    so they measure the same token distribution)."""
+    rng = rng if rng is not None else np.random.default_rng(0)
+    lead = tuple(lead)
+    toks = np.zeros(lead + (ntoks,), np.int32)
+    toks[..., 0] = 49406
+    toks[..., 1 : 1 + n_real] = rng.integers(1, 49405, lead + (n_real,))
+    toks[..., 1 + n_real] = 49407
+    return toks

@@ -156,8 +156,25 @@ def create_model(
                 "Provision the merges file via VTC_BPE_VOCAB.",
                 weights_path,
             )
-        sd = load_openai_state_dict(weights_path)
-        imported = import_openai_clip(sd)
+        if os.path.isdir(weights_path):
+            # HuggingFace CLIPModel directory (e.g. VTC_CLIP_WEIGHTS pointing
+            # at an openai/clip-vit-* snapshot) — torch.load on a directory
+            # raises, so route through the HF importer
+            from .torch_import import import_hf_clip
+
+            try:
+                from transformers import CLIPModel
+            except ImportError as e:
+                raise RuntimeError(
+                    f"{weights_path} is a directory (HuggingFace CLIP "
+                    f"format) but transformers is unavailable: {e}"
+                )
+            imported = import_hf_clip(
+                CLIPModel.from_pretrained(weights_path).state_dict()
+            )
+        else:
+            sd = load_openai_state_dict(weights_path)
+            imported = import_openai_clip(sd)
         if arch in _TSF_ARCHS:
             v = CLIP_VARIANTS[getattr(module, "model_type", "ViT-B/32")]
             imported["visual"] = timesformer_params_from_clip_visual(

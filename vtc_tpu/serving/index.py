@@ -47,18 +47,20 @@ class RetrievalIndex:
         self._ids = []
         self._gallery = None
         self._gallery_ids = None
+        self._n_real = 0  # gallery rows before mesh-divisibility padding
 
     def __len__(self):
         # length never forces a device materialization
         if self._gallery is not None:
-            return int(self._gallery.shape[0])
+            return self._n_real
         return int(sum(c.shape[0] for c in self._chunks))
 
     def add(self, embeddings, ids) -> None:
         if self._gallery is not None:
             # re-open a materialized index: fold the device gallery back
-            # into the staging chunks (the host copies were released)
-            self._chunks = [np.asarray(self._gallery, np.float32)]
+            # into the staging chunks (the host copies were released;
+            # padding rows are sliced off)
+            self._chunks = [np.asarray(self._gallery, np.float32)[: self._n_real]]
             self._ids = [np.asarray(self._gallery_ids)]
             self._gallery = None
             self._gallery_ids = None
@@ -73,11 +75,23 @@ class RetrievalIndex:
             return
         gallery = np.concatenate(self._chunks)
         self._gallery_ids = np.concatenate(self._ids)
+        self._n_real = gallery.shape[0]
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             from ..parallel.mesh import DATA_AXIS
 
+            # device_put needs dim 0 divisible by the data-axis size; real
+            # corpora almost never are, so pad with -inf rows — they score
+            # -inf in _rank (the isfinite mask) and rank after every real
+            # row, and search() maps any surfaced pad index to id -1
+            nshard = int(self.mesh.shape[DATA_AXIS])
+            pad = (-gallery.shape[0]) % nshard
+            if pad:
+                gallery = np.concatenate(
+                    [gallery,
+                     np.full((pad, gallery.shape[1]), -np.inf, np.float32)]
+                )
             # gallery rows sharded over the data axis (per-chip HBM holds
             # 1/n of the index; top-k over the sharded axis via GSPMD)
             self._gallery = jax.device_put(
@@ -95,7 +109,11 @@ class RetrievalIndex:
         if self._gallery is None:
             raise ValueError("index is empty")
         scores, idx = _rank(self._gallery, jnp.asarray(query_embeddings), k)
-        return self._gallery_ids[np.asarray(idx)], np.asarray(scores)
+        idx = np.asarray(idx)
+        # pad rows (k > real gallery size on a mesh) surface as id -1
+        safe = np.minimum(idx, self._n_real - 1)
+        ids = np.where(idx < self._n_real, self._gallery_ids[safe], -1)
+        return ids, np.asarray(scores)
 
     # ------------------------------------------------------------------ #
 
@@ -105,7 +123,7 @@ class RetrievalIndex:
             raise ValueError("cannot save an empty RetrievalIndex")
         np.savez(
             path,
-            embeddings=np.asarray(self._gallery),
+            embeddings=np.asarray(self._gallery)[: self._n_real],
             reddit_ids=self._gallery_ids,
         )
 
