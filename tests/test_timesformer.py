@@ -105,3 +105,33 @@ def test_temporal_path_active_after_perturbation(towers):
     )
     out2 = np.asarray(tsf.apply({"params": p3}, video))
     assert not np.allclose(out0, out2, atol=1e-4)
+
+
+def test_temporal_fc_zero_initialized_without_surgery():
+    """The reference zeroes temporal_fc.weight/bias unconditionally in
+    VisualTransformer.__init__ (timesformer_clip_alt.py:246-250) — a
+    from-scratch TimeSformer (no CLIP weight surgery) must also start with
+    the divided temporal residual as a no-op."""
+    tsf = TimeSformer(variant=TINY, nframes=NFRAMES)
+    params = tsf.init(
+        jax.random.PRNGKey(3),
+        jnp.zeros((1, NFRAMES, 3, RES, RES)),
+    )["params"]
+    blocks = [k for k in params if "resblock" in k]
+    assert blocks
+    for k in blocks:
+        fc = params[k]["temporal_fc"]
+        assert not np.asarray(fc["kernel"]).any(), k
+        assert not np.asarray(fc["bias"]).any(), k
+
+
+def test_trunc_normal_matches_torch_absolute_bounds():
+    """torch.nn.init.trunc_normal_(std=.02) truncates at ABSOLUTE ±2 (±100σ,
+    effectively untruncated); a ±2σ truncation clips 4.6% of draws."""
+    from vtc_tpu.models.timesformer import _trunc_normal
+
+    x = np.asarray(_trunc_normal(jax.random.PRNGKey(0), (20000,), std=0.02))
+    # an effectively untruncated N(0, 0.02^2) exceeds 2σ=0.04 routinely
+    assert (np.abs(x) > 0.04).mean() > 0.02
+    assert np.abs(x).max() < 2.0  # the absolute bound
+    assert abs(x.std() - 0.02) < 0.002

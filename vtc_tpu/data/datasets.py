@@ -412,10 +412,13 @@ class VideoDatasetFirst1800:
             frames = []
             for f in vid:
                 h, w = f.shape[:2]
+                # torchvision Resize TRUNCATES the long side (int(), not
+                # round() — rounding shifts the resample grid by 1px on
+                # ~half of aspect ratios; see preprocess._resize_short_side)
                 if h <= w:
-                    nh, nw = self.height, max(1, round(w * self.height / h))
+                    nh, nw = self.height, max(1, int(w * self.height / h))
                 else:
-                    nw, nh = self.height, max(1, round(h * self.height / w))
+                    nw, nh = self.height, max(1, int(h * self.height / w))
                 f = cv2.resize(f, (nw, nh), interpolation=cv2.INTER_LINEAR)
                 top = (nh - self.crop_size) // 2
                 left = (nw - self.crop_size) // 2

@@ -118,25 +118,48 @@ def _rand_resized_crop_params(
             top = int(rng.integers(0, h - ch + 1))
             left = int(rng.integers(0, w - cw + 1))
             return top, left, ch, cw
-    # fallback: center crop
-    side = min(h, w)
-    return (h - side) // 2, (w - side) // 2, side, side
+    # fallback (torchvision RandomResizedCrop): center crop CLAMPED to the
+    # ratio range — extreme-aspect sources crop the largest in-ratio region,
+    # not a square
+    in_ratio = w / h
+    if in_ratio < ratio[0]:
+        cw = w
+        ch = min(h, int(round(cw / ratio[0])))
+    elif in_ratio > ratio[1]:
+        ch = h
+        cw = min(w, int(round(ch * ratio[1])))
+    else:
+        cw, ch = w, h
+    return (h - ch) // 2, (w - cw) // 2, ch, cw
 
 
 def _apply_color_jitter(
     arr: np.ndarray, rng: np.random.Generator, hue: float
 ) -> np.ndarray:
     """Brightness/contrast/saturation (0.4) + optional hue jitter on float
-    [*, h, w, 3] in [0,1]; one draw shared across frames."""
+    [*, h, w, 3] in [0,1]; one draw shared across frames.
+
+    torchvision ColorJitter semantics: the enabled adjustments run in a
+    RANDOM order per call (the ops don't commute — each clips and
+    contrast/saturation depend on the current image), and each computes its
+    grayscale target from the CURRENT image, not a cached one."""
     b = rng.uniform(0.6, 1.4)
     c = rng.uniform(0.6, 1.4)
     s = rng.uniform(0.6, 1.4)
-    arr = np.clip(arr * b, 0, 1)
-    gray = arr @ np.array([0.299, 0.587, 0.114], dtype=np.float32)
-    mean = gray.mean()
-    arr = np.clip((arr - mean) * c + mean, 0, 1)
-    arr = np.clip((arr - gray[..., None]) * s + gray[..., None], 0, 1)
-    if hue > 0:
+    luma = np.array([0.299, 0.587, 0.114], dtype=np.float32)
+
+    def _brightness(a):
+        return np.clip(a * b, 0, 1)
+
+    def _contrast(a):
+        mean = (a @ luma).mean()
+        return np.clip((a - mean) * c + mean, 0, 1)
+
+    def _saturation(a):
+        g = (a @ luma)[..., None]
+        return np.clip((a - g) * s + g, 0, 1)
+
+    def _hue(a):
         dh = rng.uniform(-hue, hue)
         # cheap hue rotation in YIQ space
         cos_h, sin_h = np.cos(2 * np.pi * dh), np.sin(2 * np.pi * dh)
@@ -148,8 +171,14 @@ def _apply_color_jitter(
         rot = np.array(
             [[1, 0, 0], [0, cos_h, -sin_h], [0, sin_h, cos_h]], dtype=np.float32
         )
-        m = t_rgb @ rot @ t_yiq
-        arr = np.clip(arr @ m.T, 0, 1)
+        arr = np.clip(a @ (t_rgb @ rot @ t_yiq).T, 0, 1)
+        return arr
+
+    ops = [_brightness, _contrast, _saturation]
+    if hue > 0:
+        ops.append(_hue)
+    for i in rng.permutation(len(ops)):
+        arr = ops[int(i)](arr)
     return arr
 
 

@@ -62,8 +62,13 @@ class TimeSformerBlock(nn.Module):
         else:
             res_t = timeattn(ln_time(xt))
         res_t = res_t.reshape(b, n, t, m)
+        # temporal_fc is zero-initialized UNCONDITIONALLY (the reference
+        # zeroes weight+bias in VisualTransformer.__init__,
+        # timesformer_clip_alt.py:246-250) so the divided block starts as a
+        # no-op even without CLIP weight surgery
         res_t = nn.Dense(
-            m, dtype=self.dtype, param_dtype=jnp.float32, name="temporal_fc"
+            m, dtype=self.dtype, param_dtype=jnp.float32, name="temporal_fc",
+            kernel_init=nn.initializers.zeros,
         )(res_t)
         xt = patches + res_t
 
@@ -190,7 +195,12 @@ class TimeSformer(nn.Module):
 
 
 def _trunc_normal(rng, shape, std=0.02):
-    return std * jax.random.truncated_normal(rng, -2.0, 2.0, shape).astype(
+    """torch.nn.init.trunc_normal_(std=std): the default [a, b] = [-2, 2]
+    bounds are ABSOLUTE values, not sigmas — at std=0.02 that is ±100σ,
+    i.e. an effectively untruncated normal. jax's truncated_normal takes
+    σ-unit bounds, so divide by std."""
+    bound = 2.0 / std
+    return std * jax.random.truncated_normal(rng, -bound, bound, shape).astype(
         np.float32
     )
 
