@@ -86,7 +86,7 @@ import pytest  # noqa: E402
 
 
 @pytest.mark.parametrize("opt_type,amsgrad", [
-    ("Adam", True), ("Adam", False), ("AdamW", False),
+    ("Adam", True), ("Adam", False), ("AdamW", False), ("AdamW", True),
 ])
 def test_fused_matches_chain(opt_type, amsgrad):
     """The fused single-pass optimizer is numerically identical to the optax
@@ -157,3 +157,41 @@ def test_fused_apply_equals_update_then_add():
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
     assert int(s1.count) == int(s1b.count) == 1
+
+
+def test_cosine_annealing_is_periodic_like_torch():
+    """torch CosineAnnealingLR rises back toward base lr after T_max (period
+    2*T_max); a clamped-at-zero schedule kills all learning past T_max."""
+    from vtc_tpu.training.optim import make_lr_schedule
+
+    spe = 10
+    sched = make_lr_schedule(
+        0.1, {"type": "CosineAnnealingLR", "args": {"T_max": 4}}, spe
+    )
+    assert float(sched(0)) == pytest.approx(0.1)
+    assert float(sched(4 * spe)) == pytest.approx(0.0, abs=1e-9)
+    assert float(sched(8 * spe)) == pytest.approx(0.1)  # periodic, not 0
+    assert float(sched(6 * spe)) == pytest.approx(0.05)
+
+
+def test_frozen_predicate_rejects_unknown_spec():
+    """The reference raises on an unknown freeze spec (model/model.py:304);
+    a silent no-op would train the 'frozen' backbone at full lr."""
+    from vtc_tpu.training.optim import frozen_predicate
+
+    with pytest.raises(ValueError, match="branch_to_freeze"):
+        frozen_predicate("vissual")
+    with pytest.raises(ValueError, match="branch_to_freeze"):
+        frozen_predicate(True)
+
+
+def test_batchnorm_scale_is_decay_group():
+    """Reference nodecay matches bias/.ln/embedding only — BatchNorm gammas
+    ('bn.weight' upstream) take weight decay; LayerNorm scales do not."""
+    from vtc_tpu.training.optim import is_nodecay
+
+    assert is_nodecay("clip/visual/transformer/resblocks_0/ln_1/scale")
+    assert is_nodecay("cam/ln_x/bias")
+    assert not is_nodecay("audio/base/bn1/scale")
+    assert not is_nodecay("cam/bn/scale")
+    assert not is_nodecay("logit_scale")

@@ -838,3 +838,45 @@ def test_resume_fused_into_chain_recovers_schedule_step(tmp_path):
         and np.issubdtype(np.asarray(leaf).dtype, np.integer)
     ]
     assert counts and all(c == len(loader) for c in counts)
+
+
+def test_resume_with_changed_lr_does_not_restore_optimizer(tmp_path):
+    """base_trainer.py:178-194 — a changed optimizer lr (or type) means the
+    checkpoint's optimizer state is NOT resumed (stale Adam moments and
+    never-decaying amsgrad maxima under a new lr change the dynamics)."""
+    csv = _make_features_fixture(tmp_path)
+    config = _min_config(tmp_path, epochs=1)
+
+    module, variables = create_model(
+        "PretrainedCLIP_finaltf", model_type=TINY, freeze="all", seed=0
+    )
+    train_ds = _FeatureCommentDataset(csv, str(tmp_path / "vis.npz"), train=True)
+    loader = DataLoader(train_ds, batch_size=8, shuffle=True, drop_last=True,
+                        num_workers=0)
+    tx = build_optimizer(
+        variables["params"], config["optimizer"], config["lr_scheduler"],
+        steps_per_epoch=len(loader), branch_to_freeze="all",
+    )
+    t1 = Trainer(module, variables, clip_loss, [], tx, config, loader,
+                 arch_name="PretrainedCLIP_finaltf")
+    t1.train()
+
+    config2 = _min_config(tmp_path, epochs=3)
+    config2["optimizer"]["args"]["lr"] = 0.0001  # changed vs 0.01
+    config2.resume = config.save_dir / "checkpoint-epoch1"
+    module2, variables2 = create_model(
+        "PretrainedCLIP_finaltf", model_type=TINY, freeze="all", seed=99
+    )
+    tx2 = build_optimizer(
+        variables2["params"], config2["optimizer"], config2["lr_scheduler"],
+        steps_per_epoch=len(loader), branch_to_freeze="all",
+    )
+    t2 = Trainer(module2, variables2, clip_loss, [], tx2, config2, loader,
+                 arch_name="PretrainedCLIP_finaltf")
+    # params restored, but the optimizer state is FRESH (count 0, zero moments)
+    assert t2.start_epoch == 2
+    assert int(np.asarray(t2.state.opt_state.count)) == 0
+    assert not any(
+        np.asarray(leaf).any()
+        for leaf in jax.tree_util.tree_leaves(t2.state.opt_state.mu)
+    )

@@ -114,6 +114,13 @@ def main(config: ConfigParser):
             )
 
     criterion = LOSSES[config["loss"]]
+    # the reference forwards config["loss_args"] to every criterion call
+    # (trainer/trainer.py:47,78)
+    loss_args = dict(config.get("loss_args") or {})
+    if loss_args:
+        import functools
+
+        criterion = functools.partial(criterion, **loss_args)
     metrics = [
         METRICS[met["type"]](**dict(met["args"])) for met in config["metrics"]
     ]

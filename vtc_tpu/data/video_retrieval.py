@@ -292,6 +292,10 @@ class VideoDatasetActivityNet:
             video_ids,
             lambda v: os.path.join(root, "videos", v + ".mp4"),
             "ActivityNet",
+            # the reference asserts nmissing == 0
+            # (video_retrieval_videodatasets.py:450): a silently smaller
+            # gallery inflates R@K vs the published protocol
+            require_all=True,
         )
 
     def __len__(self):

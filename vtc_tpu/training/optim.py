@@ -52,10 +52,11 @@ def classify_param(path: str) -> str:
 
 
 def is_nodecay(path: str) -> bool:
-    # "/scale" catches LayerNorm/BatchNorm scales (torch names them
-    # "<ln>.weight", matched by ".ln" in the reference) — but not logit_scale,
-    # which the reference leaves in the decay set
-    return any(t in path for t in _NODECAY_MATCHES) or path.endswith("/scale")
+    # LayerNorm scales are caught by the "/ln" match (torch names them
+    # "<ln>.weight", matched by ".ln" in the reference). BatchNorm scales
+    # ("bn.weight" upstream) match NEITHER "bias" nor ".ln" there, so they
+    # stay in the DECAY set — as does logit_scale.
+    return any(t in path for t in _NODECAY_MATCHES)
 
 
 def frozen_predicate(branch_to_freeze) -> Callable[[str], bool]:
@@ -66,6 +67,15 @@ def frozen_predicate(branch_to_freeze) -> Callable[[str], bool]:
         return lambda path: False
 
     spec = str(branch_to_freeze)
+    known = ("all", "visual", "text", "finaltf")
+    if not any(k in spec for k in known):
+        # the reference raises on an unknown spec (model/model.py:304); a
+        # silent no-op would turn a frozen-backbone experiment into full
+        # finetuning
+        raise ValueError(
+            f"Unknown branch_to_freeze {branch_to_freeze!r}; expected "
+            f"False/'none' or a string containing one of {known}"
+        )
 
     def frozen(path: str) -> bool:
         if "all" in spec and path.startswith("clip/"):
@@ -118,8 +128,20 @@ def make_lr_schedule(lr: float, scheduler_cfg: Optional[dict], steps_per_epoch: 
     if stype in ("ConstantLR", "off", None):
         return lambda step: lr
     if stype == "CosineAnnealingLR":
-        t_max = int(args.get("T_max", 10)) * max(steps_per_epoch, 1)
-        return optax.cosine_decay_schedule(lr, t_max)
+        # torch CosineAnnealingLR is PERIODIC (closed form, period 2*T_max:
+        # lr rises back toward base after T_max); optax.cosine_decay_schedule
+        # clamps at 0 past T_max, which kills all learning for runs longer
+        # than T_max epochs
+        t_max = int(args.get("T_max", 10))
+        eta_min = float(args.get("eta_min", 0.0))
+
+        def schedule(step):
+            epoch = step // max(steps_per_epoch, 1)
+            return eta_min + (lr - eta_min) * (
+                1 + jnp.cos(jnp.pi * epoch / t_max)
+            ) / 2
+
+        return schedule
     raise ValueError(f"Unknown lr_scheduler type {stype!r}")
 
 
@@ -192,6 +214,28 @@ def _adam_like(lr_schedule, opt_args: dict):
         parts.append(scale_by_amsgrad_torch(b1=b1, b2=b2, eps=eps))
     else:
         parts.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
+    parts.append(optax.scale_by_schedule(lambda s: -lr_schedule(s)))
+    return optax.chain(*parts)
+
+
+def _adamw_like(lr_schedule, opt_args: dict):
+    """torch.optim.AdamW-equivalent chain: (ams)adam moments, DECOUPLED
+    decay added after the adaptive scaling, schedule-scaled step — the
+    amsgrad branch keeps torch's max-of-uncorrected-moments semantics
+    (optax.adamw has no amsgrad, so routing amsgrad AdamW through it would
+    silently drop the max-moments)."""
+    wd = float(opt_args.get("weight_decay", 0.0) or 0.0)
+    b1, b2 = opt_args.get("betas", (0.9, 0.999))
+    eps = float(opt_args.get("eps", 1e-8))
+    amsgrad = bool(opt_args.get("amsgrad", False))
+
+    parts = []
+    if amsgrad:
+        parts.append(scale_by_amsgrad_torch(b1=b1, b2=b2, eps=eps))
+    else:
+        parts.append(optax.scale_by_adam(b1=b1, b2=b2, eps=eps))
+    if wd:
+        parts.append(optax.add_decayed_weights(wd))
     parts.append(optax.scale_by_schedule(lambda s: -lr_schedule(s)))
     return optax.chain(*parts)
 
@@ -347,7 +391,7 @@ def build_optimizer(
     if opt_type not in ("Adam", "AdamW"):
         raise ValueError(f"Unsupported optimizer type {opt_type!r}")
     args = dict(optimizer_cfg.get("args", {}))
-    base_lr = float(args.get("lr", 1e-4))
+    base_lr = float(args.get("lr", 1e-3))  # torch.optim.Adam's default
 
     group_lr = {
         "rest": base_lr,
@@ -371,19 +415,10 @@ def build_optimizer(
     for group, lr in group_lr.items():
         sched = make_lr_schedule(lr, scheduler_cfg, steps_per_epoch)
         decay_args = dict(args)
-        if opt_type == "AdamW":
-            # decoupled decay: approximate torch AdamW via optax.adamw per group
-            transforms[f"{group}_decay"] = optax.adamw(
-                learning_rate=sched,
-                b1=args.get("betas", (0.9, 0.999))[0],
-                b2=args.get("betas", (0.9, 0.999))[1],
-                eps=float(args.get("eps", 1e-8)),
-                weight_decay=float(args.get("weight_decay", 0.0) or 0.0),
-            )
-        else:
-            transforms[f"{group}_decay"] = _adam_like(sched, decay_args)
         nodecay_args = dict(args, weight_decay=0.0)
-        transforms[f"{group}_nodecay"] = _adam_like(sched, nodecay_args)
+        mk = _adamw_like if opt_type == "AdamW" else _adam_like
+        transforms[f"{group}_decay"] = mk(sched, decay_args)
+        transforms[f"{group}_nodecay"] = mk(sched, nodecay_args)
 
     return optax.multi_transform(transforms, labels)
 

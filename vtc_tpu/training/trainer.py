@@ -326,10 +326,17 @@ class Trainer:
         else:
             batch_iter = self._batches(self.data_loader)
 
+        # the fold stride must match the ACTUAL steps per epoch: in
+        # len_epoch mode an epoch runs len_epoch+1 batches (the post-step
+        # break below mirrors the reference's own batch_idx == len_epoch
+        # quirk), so a len_epoch stride would reuse the boundary key on the
+        # next epoch's first step (identical adapter_skip/comment_mask/
+        # dropout draws two steps in a row)
+        fold_stride = self.len_epoch + 1 if self._inf_mode else self.len_epoch
         for batch_idx, (data, meta) in enumerate(batch_iter):
             batch_size = data[0].shape[0]
             step_rng = jax.random.fold_in(
-                self.base_rng, (epoch - 1) * self.len_epoch + batch_idx
+                self.base_rng, (epoch - 1) * fold_stride + batch_idx
             )
             self.state, loss, out = self.train_step(
                 self.state, data, meta, step_rng
@@ -515,6 +522,30 @@ class Trainer:
 
         opt_state = self.state.opt_state
         restored_opt = ckpt.get("opt_state")
+        # the reference does NOT resume optimizer state when the optimizer
+        # type or lr changed (base_trainer.py:178-194) — stale Adam moments
+        # (and amsgrad's never-decaying nu_max) under a new lr silently
+        # change the run's dynamics
+        ckpt_opt = dict((ckpt.get("config") or {}).get("optimizer") or {})
+        live_opt = dict(self.config.get("optimizer") or {})
+        if restored_opt is not None and ckpt_opt and live_opt:
+            t_old, t_new = ckpt_opt.get("type"), live_opt.get("type")
+            lr_old = (ckpt_opt.get("args") or {}).get("lr")
+            lr_new = (live_opt.get("args") or {}).get("lr")
+            type_changed = t_old and t_new and t_old != t_new
+            lr_changed = (
+                lr_old is not None and lr_new is not None
+                and float(lr_old) != float(lr_new)
+            )
+            if type_changed or lr_changed:
+                self.logger.warning(
+                    "Optimizer %s changed (checkpoint %s -> config %s); "
+                    "optimizer state not resumed.",
+                    "type" if type_changed else "lr",
+                    t_old if type_changed else lr_old,
+                    t_new if type_changed else lr_new,
+                )
+                restored_opt = None
         if restored_opt is not None and not (missing or unexpected):
             # Orbax restores optax's namedtuples/tuples as generic
             # lists/dicts, so a structural tree_map against the live state
