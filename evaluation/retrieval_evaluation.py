@@ -82,6 +82,19 @@ if __name__ == "__main__":
     args.add_argument("--first_chunk_only", action="store_true")
     args = args.parse_args()
 
+    if args.device:
+        # the TPU analogue of the reference's device selection: "-d cpu"
+        # forces the host platform (must happen before first device use;
+        # the env sitecustomize may pre-select a TPU backend), anything
+        # else selects the default accelerator
+        import jax
+
+        if args.device.lower() == "cpu":
+            jax.config.update("jax_platforms", "cpu")
+        elif args.device.lower() not in ("tpu", "axon", "default"):
+            print(f"warning: unknown -d {args.device!r}; using the default "
+                  "backend", file=sys.stderr)
+
     module, variables = load_model(
         args.checkpoint, args.model_type,
         branch_to_adapt=args.branch_to_adapt,

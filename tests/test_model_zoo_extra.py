@@ -150,3 +150,76 @@ def test_torch_batchnorm_running_stats_match_torch():
         )
     )
     np.testing.assert_allclose(got, ref, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_ig65m_import_matches_torchvision_state_dict_layout():
+    """Synthesize a state_dict with torchvision VideoResNet's EXACT key
+    layout and shapes (BasicBlock: conv1/conv2 are Sequentials with the BN
+    at index 1; midplanes computed once per block from (inplanes, planes)
+    and shared by both convs) — the importer must consume it and produce a
+    tree congruent with the flax module's init."""
+    from vtc_tpu.models.r2plus1d import import_ig65m_weights
+
+    rng = np.random.default_rng(0)
+
+    def w(*shape):
+        return rng.normal(size=shape).astype(np.float32) * 0.02
+
+    def bn(n, prefix, sd):
+        sd[f"{prefix}.weight"] = np.ones(n, np.float32)
+        sd[f"{prefix}.bias"] = np.zeros(n, np.float32)
+        sd[f"{prefix}.running_mean"] = np.zeros(n, np.float32)
+        sd[f"{prefix}.running_var"] = np.ones(n, np.float32)
+
+    sd = {}
+    sd["stem.0.weight"] = w(45, 3, 1, 7, 7)
+    bn(45, "stem.1", sd)
+    sd["stem.3.weight"] = w(64, 45, 3, 1, 1)
+    bn(64, "stem.4", sd)
+
+    layers, widths = (3, 4, 6, 3), (64, 128, 256, 512)
+    inplanes = 64
+    for li, (n, p) in enumerate(zip(layers, widths)):
+        for bi in range(n):
+            i = inplanes if bi == 0 else p
+            m = (i * p * 3 * 3 * 3) // (i * 3 * 3 + 3 * p)  # per BLOCK
+            t = f"layer{li + 1}.{bi}"
+            for ci, cin in (("conv1", i), ("conv2", p)):
+                sd[f"{t}.{ci}.0.0.weight"] = w(m, cin, 1, 3, 3)
+                bn(m, f"{t}.{ci}.0.1", sd)
+                sd[f"{t}.{ci}.0.3.weight"] = w(p, m, 3, 1, 1)
+                bn(p, f"{t}.{ci}.1", sd)
+            if li > 0 and bi == 0:
+                sd[f"{t}.downsample.0.weight"] = w(p, i, 1, 1, 1)
+                bn(p, f"{t}.downsample.1", sd)
+        inplanes = p
+
+    imported = import_ig65m_weights(sd)
+
+    model = R2Plus1D_34_IG65M_32frames()
+    x = jnp.zeros((1, 3, 4, 32, 32), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    want_shapes = jax.tree_util.tree_map(lambda a: a.shape, dict(variables))
+    got_shapes = jax.tree_util.tree_map(np.shape, imported)
+    assert want_shapes == got_shapes
+
+    y = model.apply(
+        {"params": imported["params"], "batch_stats": imported["batch_stats"]},
+        x,
+    )
+    assert y.shape == (1, 512) and np.isfinite(np.asarray(y)).all()
+
+
+def test_r2plus1d_transition_block_uses_block_midplanes():
+    """conv2 of a transition block reuses the BLOCK's midplanes (from
+    inplanes->planes), not _midplanes(planes, planes): layer2_0 must build
+    a 230-wide intermediate, not 288."""
+    from vtc_tpu.models.r2plus1d import R2Plus1dBlock
+
+    blk = R2Plus1dBlock(128, (2, 2, 2))
+    v = blk.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 2, 8, 8, 64), jnp.float32)
+    )
+    k2 = v["params"]["conv2"]["conv_s"]["kernel"]
+    assert k2.shape[-2:] == (128, 230), k2.shape  # (cin=planes, mid=230)

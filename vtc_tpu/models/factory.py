@@ -142,8 +142,15 @@ def create_model(
     variables = dict(variables)
     params = dict(variables["params"])
 
+    # clip_audio_ckpt supplies the CLIP tower only when the audio branch is
+    # actually initialized — the reference's load sits inside
+    # ``if self.init_audio_model:`` (model/model.py:409-435); with
+    # init_audio_model=False it uses the stock CLIP weights
+    use_audio_ckpt = clip_audio_ckpt and getattr(
+        module, "init_audio_model", True
+    )
     weights_path = find_clip_weights(
-        clip_audio_ckpt if clip_audio_ckpt else clip_weights
+        clip_audio_ckpt if use_audio_ckpt else clip_weights
     )
     if weights_path is not None and "clip" in params:
         from ..data.tokenizer import get_tokenizer

@@ -212,7 +212,12 @@ class MultiHeadAttention(nn.Module):
 
         in_proj_weight = self.param(
             "in_proj_weight",
-            nn.initializers.truncated_normal(0.02, lower=-2.0, upper=2.0),
+            nn.initializers.truncated_normal(
+                # torch trunc_normal_(std=.02): [a,b]=[-2,2] are
+                # ABSOLUTE bounds = +/-100 sigma (flax's are in sigma
+                # units), i.e. effectively untruncated
+                0.02, lower=-100.0, upper=100.0,
+            ),
             (3, e, e),
             jnp.float32,
         )
@@ -323,7 +328,12 @@ class MultiHeadAttention(nn.Module):
             dtype=self.dtype,
             param_dtype=jnp.float32,
             name="out_proj",
-            kernel_init=nn.initializers.truncated_normal(0.02, lower=-2.0, upper=2.0),
+            kernel_init=nn.initializers.truncated_normal(
+                # torch trunc_normal_(std=.02): [a,b]=[-2,2] are
+                # ABSOLUTE bounds = +/-100 sigma (flax's are in sigma
+                # units), i.e. effectively untruncated
+                0.02, lower=-100.0, upper=100.0,
+            ),
         )(out)
 
 

@@ -23,19 +23,22 @@ from .layers import TorchBatchNorm
 
 
 def _midplanes(cin: int, cout: int) -> int:
-    # torchvision Conv2Plus1D: keep ~the 3x3x3 parameter budget
+    # torchvision BasicBlock: keep ~the 3x3x3 parameter budget. Computed
+    # ONCE per block from (inplanes, planes) and reused by BOTH convs —
+    # conv2 of a transition block does NOT recompute it from its own
+    # (planes, planes) input.
     return (cin * cout * 3 * 3 * 3) // (cin * 3 * 3 + 3 * cout)
 
 
 class Conv2Plus1D(nn.Module):
     cout: int
+    midplanes: int
     stride: tuple = (1, 1, 1)  # (t, h, w)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        cin = x.shape[-1]
-        mid = _midplanes(cin, self.cout)
+        mid = self.midplanes
         st, sh, sw = self.stride
         x = nn.Conv(
             mid, (1, 3, 3), strides=(1, sh, sw), padding=(0, 1, 1),
@@ -61,15 +64,16 @@ class R2Plus1dBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         identity = x
-        y = Conv2Plus1D(self.cout, self.stride, dtype=self.dtype, name="conv1")(
-            x, train
-        )
+        mid = _midplanes(x.shape[-1], self.cout)  # shared by conv1 AND conv2
+        y = Conv2Plus1D(
+            self.cout, mid, self.stride, dtype=self.dtype, name="conv1"
+        )(x, train)
         y = TorchBatchNorm(
             use_running_average=not train, momentum=0.9, dtype=self.dtype,
             name="bn1",
         )(y)
         y = nn.relu(y)
-        y = Conv2Plus1D(self.cout, dtype=self.dtype, name="conv2")(y, train)
+        y = Conv2Plus1D(self.cout, mid, dtype=self.dtype, name="conv2")(y, train)
         y = TorchBatchNorm(
             use_running_average=not train, momentum=0.9, dtype=self.dtype,
             name="bn2",
@@ -179,8 +183,13 @@ def import_ig65m_weights(state_dict) -> dict:
                 bn_p, bn_s = bn(f"{t}.{ci}.0.1")
                 p[ci]["bn_s"] = bn_p
                 s[ci] = {"bn_s": bn_s}
-            for bni in ("bn1", "bn2"):
-                p[bni], s[bni] = bn(f"{t}.{bni}")
+            # the post-conv_builder BatchNorms live INSIDE the outer torch
+            # Sequentials (BasicBlock: conv1 = Sequential(Conv2Plus1D, BN,
+            # ReLU), conv2 = Sequential(Conv2Plus1D, BN)) — there are no
+            # bare "{t}.bn1"/"{t}.bn2" keys in a torchvision/ig65m
+            # state_dict
+            p["bn1"], s["bn1"] = bn(f"{t}.conv1.1")
+            p["bn2"], s["bn2"] = bn(f"{t}.conv2.1")
             if f"{t}.downsample.0.weight" in state_dict:
                 p["downsample_conv"] = {"kernel": conv(f"{t}.downsample.0.weight")}
                 p["downsample_bn"], s["downsample_bn"] = bn(f"{t}.downsample.1")

@@ -57,7 +57,16 @@ class _FactorizedAttention(nn.Module):
             w_init = nn.initializers.zeros
             out_init = nn.initializers.ones  # constant_(out_proj.weight, 1.0)
         else:
-            w_init = nn.initializers.xavier_uniform()
+            # torch applies xavier_uniform_ to the FLAT [3E, E] matrix
+            # (fan_in=E, fan_out=3E -> bound sqrt(6/4E),
+            # timesformer_clip.py:233-236); flax's xavier on the explicit
+            # (3, E, E) shape would treat the 3 as receptive field
+            # (fan=3E both ways -> bound sqrt(6/6E), ~18% smaller)
+            def w_init(key, shape, dtype=jnp.float32):
+                fan_in, fan_out = shape[-1], 3 * shape[-1]
+                bound = float(np.sqrt(6.0 / (fan_in + fan_out)))
+                return jax.random.uniform(key, shape, dtype, -bound, bound)
+
             out_init = nn.initializers.lecun_normal()
 
         in_proj_weight = self.param(
