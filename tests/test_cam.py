@@ -259,3 +259,63 @@ def test_shared_comments_broadcast_matches_tiled(finaltf):
     np.testing.assert_allclose(
         np.asarray(fv_s), np.asarray(fv_t), atol=1e-6
     )
+
+
+def test_bn_activation_rejects_singleton_train_batch():
+    """torch BatchNorm1d raises on batch 1 ('Expected more than 1 value per
+    channel'); silently accepting it decays the running var toward 0 and
+    blows up eval residuals."""
+    cam = ContextAdapter(feature_dim=DIM, residual_activation="bn")
+    rng = np.random.default_rng(0)
+    variables = cam.init(
+        {"params": jax.random.PRNGKey(0), "adapter_skip": jax.random.PRNGKey(1)},
+        jnp.asarray(rng.normal(size=(2, DIM)), jnp.float32),
+        jnp.asarray(rng.normal(size=(3, 2, DIM)), jnp.float32),
+        True, False,
+    )
+    with pytest.raises(ValueError, match="batch >= 2"):
+        cam.apply(
+            variables,
+            jnp.asarray(rng.normal(size=(1, DIM)), jnp.float32),
+            jnp.asarray(rng.normal(size=(3, 1, DIM)), jnp.float32),
+            True, False,
+            mutable=["batch_stats"],
+            rngs={"adapter_skip": jax.random.PRNGKey(2)},
+        )
+
+
+def test_shared_comment_broadcast_is_eval_only(finaltf):
+    """A size-1 comment batch against a larger feature batch must error in
+    TRAINING (the reference's torch.stack would) — the broadcast is the
+    transfer-eval dedup optimization only."""
+    module, variables = finaltf
+    vis, title, comments = _inputs()
+    one_comment = comments[:1]  # [1, nc, ntoks]
+    # eval: broadcast works
+    fv, ft, _ = module.apply(
+        variables, vis, title, one_comment, branch_override="text"
+    )
+    assert ft.shape[0] == title.shape[0]
+    # train: loud error
+    with pytest.raises(ValueError, match="eval-only"):
+        module.apply(
+            variables, vis, title, one_comment, train=True,
+            mutable=["batch_stats"],
+            rngs={
+                "adapter_skip": jax.random.PRNGKey(0),
+                "comment_mask": jax.random.PRNGKey(1),
+            },
+        )
+
+
+def test_joint_embedding_zero_feature_row_stays_finite():
+    """F.normalize's eps clamp (model/model.py:117-118): an all-zero feature
+    row normalizes to zeros, not NaN."""
+    from vtc_tpu.models.retrieval import JointEmbedding
+
+    m = JointEmbedding(input_dims_a=8, input_dims_b=8, embedding_dims=8)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((2, 8)), jnp.zeros((2, 8)))
+    # zero inputs through zero-bias dense + BN(eval) + relu stay zero rows
+    fa, fb = m.apply(v, jnp.zeros((2, 8)), jnp.zeros((2, 8)))
+    assert np.isfinite(np.asarray(fa)).all()
+    assert np.isfinite(np.asarray(fb)).all()

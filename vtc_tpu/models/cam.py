@@ -69,8 +69,10 @@ class ContextAdapter(nn.Module):
     init_from_avg: bool = True
     residual_activation: Optional[str] = None
     random_skip_adapter: bool = True
-    random_comment_masking: bool = False
     dtype: jnp.dtype = jnp.float32
+    # NOTE: comment masking is the retrieval wrapper's policy — it gates the
+    # random_mask_comments call (retrieval.py); the adapter holds no copy of
+    # that flag so the two cannot drift.
 
     def setup(self):
         self.final_transformer = Transformer(
@@ -102,9 +104,18 @@ class ContextAdapter(nn.Module):
 
     def _update_bn_stats(self, s):
         s = jax.lax.stop_gradient(s).astype(jnp.float32)
+        n = s.shape[0]
+        if n < 2 and not self.is_initializing():
+            # torch BatchNorm1d raises 'Expected more than 1 value per
+            # channel' — failing loudly beats decaying the running var
+            # toward 0 (rsqrt(var+1e-5) would amplify eval residuals ~300x)
+            raise ValueError(
+                f"{self.residual_activation!r} residual activation needs "
+                f"batch >= 2 in training (got {n}); drop 1-element batches "
+                f"(drop_last) or freeze the adapter"
+            )
         batch_mean = jnp.mean(s, axis=0)
         # torch updates the running var with the unbiased batch variance
-        n = s.shape[0]
         batch_var = jnp.var(s, axis=0) * (n / max(n - 1, 1))
         if not self.is_initializing():
             self.bn_mean.value = 0.8 * self.bn_mean.value + 0.2 * batch_mean

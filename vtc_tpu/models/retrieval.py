@@ -88,8 +88,15 @@ class JointEmbedding(nn.Module):
         feats_a = self.branch_a(x_a, train)
         feats_b = self.branch_b(x_b, train)
         if self.normalize:
-            feats_a = l2_normalize(feats_a)
-            feats_b = l2_normalize(feats_b)
+            # reference uses F.normalize (model/model.py:117-118), whose
+            # eps=1e-12 denominator clamp keeps an all-zero feature row
+            # (degenerate relu output) at zeros instead of NaN
+            def norm(f):
+                n = jnp.linalg.norm(f, axis=-1, keepdims=True)
+                return f / jnp.maximum(n, 1e-12)
+
+            feats_a = norm(feats_a)
+            feats_b = norm(feats_b)
         return feats_a, feats_b
 
 
@@ -174,12 +181,25 @@ class PretrainedCLIP(_ClipRetrievalBase):
 
     def __call__(self, vis, title, comments=None, train: bool = False):
         feats_vis = self._encode_vis(vis)
-        feats_title = self.clip.encode_text(title).astype(jnp.float32)
 
         if comments is None or self.comment_fusion in (None, "None"):
-            feats_text = feats_title
+            feats_text = self.clip.encode_text(title).astype(jnp.float32)
         elif self.comment_fusion == "averaging":
-            feats_comm = self._encode_comments(comments)  # [b, nc, d]
+            # one fused text-tower pass over [title; comments] — identical
+            # math (the tower is per-sequence), one launch instead of two
+            # (same trick as _CamRetrievalBase._encode_title_and_comments;
+            # averaging needs no empty-comment substitution first)
+            b, ncomms, ntoks = comments.shape
+            if title.shape[-1] == ntoks:
+                joint = jnp.concatenate(
+                    [title, comments.reshape(b * ncomms, ntoks)], axis=0
+                )
+                feats = self.clip.encode_text(joint).astype(jnp.float32)
+                feats_title = feats[: title.shape[0]]
+                feats_comm = feats[title.shape[0]:].reshape(b, ncomms, -1)
+            else:  # different truncation buckets: separate passes
+                feats_title = self.clip.encode_text(title).astype(jnp.float32)
+                feats_comm = self._encode_comments(comments)
             stacked = jnp.concatenate(
                 [feats_title[:, None], feats_comm], axis=1
             )
@@ -223,7 +243,6 @@ class _CamRetrievalBase(_ClipRetrievalBase):
             init_from_avg=self.init_from_avg,
             residual_activation=self.residual_activation,
             random_skip_adapter=self.random_skip_adapter,
-            random_comment_masking=self.random_comment_masking,
             dtype=self.dtype,
             name="cam",
         )
@@ -292,9 +311,18 @@ class _CamRetrievalBase(_ClipRetrievalBase):
         # shared comments: a size-1 comment batch broadcasts across the
         # adapted branch (the transfer-eval case — every caption/chunk of a
         # video shares its 5 comments; encoding them once instead of
-        # per-row removes the dominant duplicated text-tower work there)
+        # per-row removes the dominant duplicated text-tower work there).
+        # EVAL-ONLY: in training the reference's torch.stack would raise on
+        # the batch mismatch; silently broadcasting would train every sample
+        # on one shared comment set (and one shared mask draw).
         def _bcast(fc, target_b):
             if fc.shape[1] == 1 and target_b != 1:
+                if train:
+                    raise ValueError(
+                        f"comment batch 1 vs feature batch {target_b} in "
+                        f"training: shared-comment broadcast is an eval-only "
+                        f"optimization (model/model.py:216-266 would error)"
+                    )
                 return jnp.broadcast_to(
                     fc, (fc.shape[0], target_b, fc.shape[2])
                 )
