@@ -293,3 +293,28 @@ def test_factory_loads_hf_clip_directory(tmp_path):
         np.asarray(got["text"]["text_projection"]),
         np.asarray(want["text"]["text_projection"]), atol=0,
     )
+
+
+def test_clip_audio_ckpt_ignored_without_init_audio_model(tmp_path):
+    """The reference loads CLIP from clip_audio_ckpt only inside
+    'if self.init_audio_model:' (model/model.py:409-435); with
+    init_audio_model=False the (possibly invalid) ckpt must not be touched."""
+    bad = tmp_path / "retrieval_ckpt.pth"
+    bad.write_bytes(b"not a torch file at all")
+
+    from vtc_tpu.models import create_model
+
+    # init_audio_model defaults to False on the CAM models: must not load
+    module, variables = create_model(
+        "PretrainedCLIP_finaltf", model_type="test-tiny",
+        clip_audio_ckpt=str(bad),
+    )
+    assert variables["params"]["clip"] is not None
+
+    # with init_audio_model=True the path IS consulted and the garbage file
+    # fails loudly
+    with pytest.raises(Exception):
+        create_model(
+            "PretrainedCLIP_finaltf", model_type="test-tiny",
+            clip_audio_ckpt=str(bad), init_audio_model=True,
+        )
