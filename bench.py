@@ -40,16 +40,18 @@ import json, time
 from functools import partial
 import numpy as np
 
-def run(batch, iters, warmup, dtype_name, ntoks=16, windows=3):
+def run(batch, iters, warmup, dtype_name, ntoks=16, windows=3, model_type="ViT-B/32"):
     import jax
     import jax.numpy as jnp
     from vtc_tpu.models import create_model
+    from vtc_tpu.models.clip_model import CLIP_VARIANTS
     from vtc_tpu.data.preprocess import extract_patches
 
     dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
     module, variables = create_model(
-        "PretrainedCLIP_finaltf", model_type="ViT-B/32", seed=0, dtype=dtype
+        "PretrainedCLIP_finaltf", model_type=model_type, seed=0, dtype=dtype
     )
+    variant = CLIP_VARIANTS[model_type]
     if dtype_name == "bf16":
         # matmul weights in bf16 (halved weight HBM traffic); LN/embeddings
         # stay fp32 — the same cast serving uses
@@ -83,8 +85,9 @@ def run(batch, iters, warmup, dtype_name, ntoks=16, windows=3):
     # uint8 patch input: the flagship eval fast path (4x fewer transfer
     # bytes; zero device-side layout work — normalization rides the conv)
     rng = np.random.default_rng(0)
-    u8 = rng.integers(0, 256, (batch, 224, 224, 3), dtype=np.uint8)
-    vis = jnp.asarray(extract_patches(u8, 32))
+    res = variant.input_resolution
+    u8 = rng.integers(0, 256, (batch, res, res, 3), dtype=np.uint8)
+    vis = jnp.asarray(extract_patches(u8, variant.patch_size))
 
     # realistic text lengths: VTC titles/comments are short (~15 BPE tokens)
     # and the eval CLI truncates to the EOT bucket (exactness-preserving —
@@ -225,12 +228,28 @@ def main():
     # at identical device time; PERFORMANCE.md round 3)
     batch = int(os.environ.get("BENCH_BATCH", 160))
     iters = int(os.environ.get("BENCH_ITERS", 96))
+    # BENCH_MODEL switches the CLIP variant (ViT-B/16, ViT-L/14 rows in
+    # PERFORMANCE.md); the full-context and CPU-baseline companions only run
+    # for the default flagship so vs_baseline always compares like with like
+    model_type = os.environ.get("BENCH_MODEL", "ViT-B/32")
 
     _probe_tpu()
 
     ns = {}
     exec(BENCH_CODE, ns)
-    tpu_pps = ns["run"](batch, iters, warmup=3, dtype_name="bf16")
+    tpu_pps = ns["run"](
+        batch, iters, warmup=3, dtype_name="bf16", model_type=model_type
+    )
+
+    if model_type != "ViT-B/32":
+        print(json.dumps({
+            "metric": "eval_clip_pairs_per_sec_per_chip",
+            "value": round(tpu_pps, 2),
+            "unit": "pairs/s",
+            "model": model_type,
+            "vs_baseline": None,
+        }))
+        return
 
     # worst case (full 77-token context) in its own clean subprocess
     full_ctx = None

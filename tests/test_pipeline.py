@@ -120,3 +120,37 @@ def test_pipeline_validation(tower):
 def test_create_pipeline_mesh():
     mesh = create_pipeline_mesh(4, 2)
     assert mesh.shape == {"data": 4, PIPE_AXIS: 2}
+
+
+def test_pipeline_timesformer_blocks():
+    """The divided space-time block stack (the tower where pipeline stages
+    matter — its activations force VTC_REMAT on one chip) pipelines exactly."""
+    from vtc_tpu.models.timesformer import TimeSformerBlock
+    from vtc_tpu.parallel.pipeline import timesformer_block_apply
+
+    nframes, npatch = 2, 4
+    x = jnp.asarray(
+        np.random.default_rng(1)
+        .normal(size=(8, 1 + npatch * nframes, WIDTH))
+        .astype(np.float32)
+    )
+    block = TimeSformerBlock(WIDTH, HEADS)
+    params = [
+        jax.jit(block.init, static_argnums=2)(jax.random.PRNGKey(i), x, nframes)[
+            "params"
+        ]
+        for i in range(LAYERS)
+    ]
+    seq = x
+    for p in params:
+        seq = block.apply({"params": p}, seq, nframes)
+
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *params)
+    out = pipeline_blocks(
+        timesformer_block_apply(WIDTH, HEADS, nframes),
+        stacked,
+        x,
+        mesh=_mesh(2, 4),
+        n_micro=4,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(seq), atol=2e-5)

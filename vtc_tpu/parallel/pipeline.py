@@ -162,6 +162,28 @@ def clip_block_apply(
     return apply
 
 
+def timesformer_block_apply(
+    width: int,
+    heads: int,
+    nframes: int,
+    dtype=jnp.float32,
+) -> Callable:
+    """``block_apply`` for the divided space-time block
+    (``models/timesformer.py:TimeSformerBlock``; params under
+    ``transformer_resblocks_{i}`` — pass that prefix to
+    ``stack_layer_params``). The video tower is where pipeline stages earn
+    their keep: its activation footprint is what forces ``VTC_REMAT`` on a
+    single chip."""
+    from ..models.timesformer import TimeSformerBlock
+
+    block = TimeSformerBlock(width, heads, dtype=dtype)
+
+    def apply(layer_params, h):
+        return block.apply({"params": layer_params}, h, nframes)
+
+    return apply
+
+
 def create_pipeline_mesh(n_data: int, n_pipe: int, devices=None) -> Mesh:
     """``("data", "pipe")`` mesh for dp×pp runs (tp and pp both consume the
     non-batch axis; combine at most one of them with dp per mesh)."""
