@@ -1,0 +1,205 @@
+"""Expert parallelism (parallel/expert.py): GShard-style MoE MLP —
+identical experts reproduce the dense MLP exactly, routing/capacity
+semantics hold, expert-axis sharding does not change numerics, and the
+CAM's beyond-reference MoE adapter keeps the zero-init-is-average
+property."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from vtc_tpu.models.layers import MLPBlock, Transformer
+from vtc_tpu.parallel.expert import (
+    EXPERT_AXIS,
+    MoEMLP,
+    create_ep_mesh,
+    moe_shardings,
+    set_expert_mesh,
+)
+
+E = 64
+
+
+@pytest.fixture(autouse=True)
+def _no_ambient_mesh():
+    """Each test opts into a mesh explicitly (the module-level default is
+    process state, like layers.set_tp_qkv)."""
+    set_expert_mesh(None)
+    yield
+    set_expert_mesh(None)
+
+
+def _dense_and_moe(n_experts, top_k, capacity_factor, seed=0):
+    """A dense MLPBlock and a MoEMLP whose experts all equal the dense one."""
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(4, 10, E)).astype(np.float32))
+    dense = MLPBlock(E)
+    dparams = jax.jit(dense.init)(jax.random.PRNGKey(0), x)["params"]
+    moe = MoEMLP(E, n_experts, router_top_k=top_k,
+                 capacity_factor=capacity_factor)
+    mparams = dict(jax.jit(moe.init)(jax.random.PRNGKey(1), x)["params"])
+    tile = lambda a: jnp.broadcast_to(a[None], (n_experts,) + a.shape)
+    mparams["w_fc"] = tile(dparams["c_fc"]["kernel"])
+    mparams["b_fc"] = tile(dparams["c_fc"]["bias"])
+    mparams["w_proj"] = tile(dparams["c_proj"]["kernel"])
+    mparams["b_proj"] = tile(dparams["c_proj"]["bias"])
+    return dense, dparams, moe, mparams, x
+
+
+@pytest.mark.parametrize("top_k", [1, 2])
+def test_identical_experts_match_dense(top_k):
+    """Renormalized gates sum to 1, so with every expert equal to the dense
+    MLP the MoE output IS the dense output (capacity ample -> no drops)."""
+    dense, dparams, moe, mparams, x = _dense_and_moe(
+        4, top_k, capacity_factor=4.0
+    )
+    want = dense.apply({"params": dparams}, x)
+    got = moe.apply({"params": mparams}, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_routing_is_top1_expert():
+    """With an unambiguous router, each token's output is exactly its
+    selected expert's FFN (k=1 renormalized gate = 1)."""
+    rng = np.random.default_rng(1)
+    moe = MoEMLP(E, 2, router_top_k=1, capacity_factor=2.0)
+    x = np.zeros((8, E), np.float32)
+    x[:, 1:] = rng.normal(size=(8, E - 1)) * 0.1
+    x[:, 0] = np.where(np.arange(8) % 2 == 0, 5.0, -5.0)  # routing feature
+    x = jnp.asarray(x)
+    params = dict(jax.jit(moe.init)(jax.random.PRNGKey(0), x)["params"])
+    router = np.zeros((E, 2), np.float32)
+    router[0, 0] = 1.0  # +feature -> expert 0
+    router[0, 1] = -1.0  # -feature -> expert 1
+    params["router"] = jnp.asarray(router)
+
+    out = np.asarray(moe.apply({"params": params}, x))
+
+    def expert(i, xt):
+        h = xt @ np.asarray(params["w_fc"][i]) + np.asarray(params["b_fc"][i])
+        h = h * (1.0 / (1.0 + np.exp(-1.702 * h)))
+        return h @ np.asarray(params["w_proj"][i]) + np.asarray(
+            params["b_proj"][i]
+        )
+
+    xt = np.asarray(x)
+    for t in range(8):
+        want = expert(0 if t % 2 == 0 else 1, xt[t])
+        np.testing.assert_allclose(out[t], want, atol=2e-5)
+
+
+def test_capacity_overflow_drops_tokens():
+    """All tokens routed to expert 0 with capacity 2: the first two tokens
+    (queue order) compute, the rest get a ZERO MoE output (the residual
+    block passes them through unchanged — standard Switch behavior)."""
+    moe = MoEMLP(E, 2, router_top_k=1, capacity_factor=0.5)  # cap = 2 of 8
+    rng = np.random.default_rng(2)
+    x = np.zeros((8, E), np.float32)
+    x[:, 1:] = rng.normal(size=(8, E - 1)) * 0.1
+    x[:, 0] = 5.0  # everyone picks expert 0
+    x = jnp.asarray(x)
+    params = dict(jax.jit(moe.init)(jax.random.PRNGKey(0), x)["params"])
+    router = np.zeros((E, 2), np.float32)
+    router[0, 0] = 1.0
+    params["router"] = jnp.asarray(router)
+
+    out = np.asarray(moe.apply({"params": params}, x))
+    assert np.abs(out[:2]).max() > 0
+    np.testing.assert_allclose(out[2:], 0.0, atol=0)
+
+
+def test_ep_sharding_matches_single_device():
+    """dp2×ep4 mesh: expert-stacked params sharded over the expert axis,
+    tokens over data — numerics identical to the unsharded module."""
+    dense, dparams, moe_plain, mparams, x = _dense_and_moe(
+        4, 2, capacity_factor=4.0, seed=3
+    )
+    want = np.asarray(moe_plain.apply({"params": mparams}, x))
+
+    mesh = create_ep_mesh(2, 4)  # also sets the process default mesh
+    moe = MoEMLP(E, 4, router_top_k=2, capacity_factor=4.0, mesh=mesh)
+    sharded = jax.device_put(mparams, moe_shardings(mparams, mesh))
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    got = jax.jit(lambda p, x: moe.apply({"params": p}, x))(sharded, xs)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+    # the expert stacks really are distributed: one shard holds 1 of 4 experts
+    w = sharded["w_fc"]
+    assert w.sharding.spec == P(EXPERT_AXIS)
+    assert w.addressable_shards[0].data.shape[0] == 1
+
+
+def test_moe_gradients_flow():
+    """Router and every expert that received tokens get nonzero grads."""
+    moe = MoEMLP(E, 2, router_top_k=2, capacity_factor=2.0)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(16, E)).astype(np.float32))
+    params = jax.jit(moe.init)(jax.random.PRNGKey(0), x)["params"]
+
+    def loss(p):
+        y = moe.apply({"params": p}, x)
+        return jnp.sum(y * y)
+
+    g = jax.grad(loss)(params)
+    assert float(jnp.abs(g["router"]).max()) > 0
+    assert float(jnp.abs(g["w_fc"]).max()) > 0
+    assert float(jnp.abs(g["w_proj"]).max()) > 0
+
+
+def test_transformer_moe_flag_param_tree():
+    """moe_experts=0 keeps the exact dense tree (checkpoint compatibility);
+    moe_experts>0 swaps mlp -> mlp_moe and still runs forward."""
+    x = jnp.zeros((2, 5, E))
+    dense_tree = jax.jit(Transformer(E, 1, 4).init)(
+        jax.random.PRNGKey(0), x
+    )["params"]
+    assert "mlp" in dense_tree["resblocks_0"]
+    assert "mlp_moe" not in dense_tree["resblocks_0"]
+
+    moe_mod = Transformer(E, 1, 4, moe_experts=2)
+    moe_tree = jax.jit(moe_mod.init)(jax.random.PRNGKey(0), x)["params"]
+    assert "mlp_moe" in moe_tree["resblocks_0"]
+    assert "mlp" not in moe_tree["resblocks_0"]
+    out = moe_mod.apply({"params": moe_tree}, x)
+    assert out.shape == x.shape and bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_cam_moe_zero_init_is_average():
+    """The MoE adapter preserves the reference's starts-as-average property:
+    zero_init_cam_params zeroes every expert's output projection, so the
+    adapter transformer is the identity (test_cam.py's dense oracle)."""
+    from vtc_tpu.models.cam import ContextAdapter, zero_init_cam_params
+
+    dim = 32
+    cam = ContextAdapter(feature_dim=dim, n_layers=2, n_heads=4,
+                         moe_experts=2)
+    rng = np.random.default_rng(5)
+    main = rng.normal(size=(4, dim)).astype(np.float32)
+    aux = rng.normal(size=(3, 4, dim)).astype(np.float32)
+    params = cam.init(
+        {"params": jax.random.PRNGKey(0),
+         "adapter_skip": jax.random.PRNGKey(1)},
+        jnp.asarray(main), jnp.asarray(aux),
+    )["params"]
+    params = zero_init_cam_params(dict(params), 2, True)
+
+    out = cam.apply({"params": params}, jnp.asarray(main), jnp.asarray(aux))
+
+    stack = np.concatenate([main[None], aux], axis=0)
+    stack = stack / np.linalg.norm(stack, axis=-1, keepdims=True)
+    res = np.mean(stack, axis=0)
+    res = res / np.linalg.norm(res, axis=-1, keepdims=True)
+    mainn = main / np.linalg.norm(main, axis=-1, keepdims=True)
+    expected = mainn + res
+    expected = expected / np.linalg.norm(expected, axis=-1, keepdims=True)
+    np.testing.assert_allclose(np.asarray(out), expected, atol=1e-5)
+
+
+def test_moe_validation():
+    x = jnp.zeros((2, E))
+    with pytest.raises(ValueError, match="router_top_k"):
+        MoEMLP(E, 2, router_top_k=3).init(jax.random.PRNGKey(0), x)
+    with pytest.raises(ValueError, match="devices"):
+        create_ep_mesh(8, 2)

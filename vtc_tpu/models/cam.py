@@ -70,6 +70,10 @@ class ContextAdapter(nn.Module):
     residual_activation: Optional[str] = None
     random_skip_adapter: bool = True
     dtype: jnp.dtype = jnp.float32
+    # >0: MoE FFNs in the adapter transformer (beyond reference — the
+    # "scale the adapter" lever; experts shard over an "expert" mesh axis)
+    moe_experts: int = 0
+    moe_top_k: int = 1
     # NOTE: comment masking is the retrieval wrapper's policy — it gates the
     # random_mask_comments call (retrieval.py); the adapter holds no copy of
     # that flag so the two cannot drift.
@@ -78,6 +82,7 @@ class ContextAdapter(nn.Module):
         self.final_transformer = Transformer(
             self.feature_dim, int(self.n_layers), int(self.n_heads),
             dtype=self.dtype,
+            moe_experts=int(self.moe_experts), moe_top_k=int(self.moe_top_k),
         )
         # bias-free linear head, stored directly so the parameter exists even
         # when init_from_avg bypasses it (reference always creates it and
@@ -219,12 +224,22 @@ def zero_init_cam_params(cam_params: dict, n_layers: int, init_from_avg: bool):
     if init_from_avg:
         for i in range(int(n_layers)):
             blk = p["final_transformer"][f"resblocks_{i}"]
-            blk["mlp"]["c_proj"]["kernel"] = jnp.zeros_like(
-                blk["mlp"]["c_proj"]["kernel"]
-            )
-            blk["mlp"]["c_proj"]["bias"] = jnp.zeros_like(
-                blk["mlp"]["c_proj"]["bias"]
-            )
+            if "mlp_moe" in blk:
+                # MoE adapter: every expert's output projection zeroed —
+                # same starts-as-average semantics per routed token
+                blk["mlp_moe"]["w_proj"] = jnp.zeros_like(
+                    blk["mlp_moe"]["w_proj"]
+                )
+                blk["mlp_moe"]["b_proj"] = jnp.zeros_like(
+                    blk["mlp_moe"]["b_proj"]
+                )
+            else:
+                blk["mlp"]["c_proj"]["kernel"] = jnp.zeros_like(
+                    blk["mlp"]["c_proj"]["kernel"]
+                )
+                blk["mlp"]["c_proj"]["bias"] = jnp.zeros_like(
+                    blk["mlp"]["c_proj"]["bias"]
+                )
             blk["attn"]["out_proj"]["kernel"] = jnp.zeros_like(
                 blk["attn"]["out_proj"]["kernel"]
             )

@@ -382,12 +382,19 @@ class MLPBlock(nn.Module):
 
 
 class ResidualAttentionBlock(nn.Module):
-    """Pre-LN transformer block (CLIP layout)."""
+    """Pre-LN transformer block (CLIP layout).
+
+    ``moe_experts > 0`` swaps the dense MLP for a mixture-of-experts FFN
+    (``parallel.expert.MoEMLP``, params under ``mlp_moe`` so dense
+    checkpoints are unaffected) — a beyond-reference capability; the
+    reference has no MoE (SURVEY §2.3 EP "n/a")."""
 
     width: int
     heads: int
     dtype: jnp.dtype = jnp.float32
     seq_fold: int = 0
+    moe_experts: int = 0
+    moe_top_k: int = 1
 
     @nn.compact
     def __call__(self, x, mask: Optional[jax.Array] = None):
@@ -395,6 +402,16 @@ class ResidualAttentionBlock(nn.Module):
             self.width, self.heads, dtype=self.dtype, name="attn",
             seq_fold=self.seq_fold,
         )
+        if self.moe_experts:
+            from ..parallel.expert import MoEMLP
+
+            mlp = MoEMLP(
+                self.width, self.moe_experts, router_top_k=self.moe_top_k,
+                dtype=self.dtype, name="mlp_moe",
+            )
+            # MoE routes per token — the fused-LN opt-in does not apply
+            x = x + attn(LayerNorm32(name="ln_1")(x), mask)
+            return x + mlp(LayerNorm32(name="ln_2")(x))
         mlp = MLPBlock(self.width, dtype=self.dtype, name="mlp")
         if use_fused_ln(self.dtype):
             ln1 = LayerNorm32(name="ln_1")(x, return_params=True)
@@ -547,6 +564,8 @@ class Transformer(nn.Module):
     heads: int
     dtype: jnp.dtype = jnp.float32
     seq_fold: int = 0  # 0 = auto batch-fold in attention (exact; see above)
+    moe_experts: int = 0  # >0: MoE FFNs (parallel.expert), beyond-reference
+    moe_top_k: int = 1
 
     @nn.compact
     def __call__(self, x, mask: Optional[jax.Array] = None):
@@ -557,6 +576,7 @@ class Transformer(nn.Module):
             x = block_cls(
                 self.width, self.heads, dtype=self.dtype, name=f"resblocks_{i}",
                 seq_fold=self.seq_fold,
+                moe_experts=self.moe_experts, moe_top_k=self.moe_top_k,
             )(x, mask)
         return x
 

@@ -234,6 +234,10 @@ class _CamRetrievalBase(_ClipRetrievalBase):
     init_audio_model: bool = False
     audio_model_ckpt: Optional[str] = None
     clip_audio_ckpt: Optional[str] = None
+    # >0: mixture-of-experts FFNs in the adapter transformer (beyond
+    # reference; experts shard over an "expert" mesh axis, parallel/expert.py)
+    moe_experts: int = 0
+    moe_top_k: int = 1
 
     def _make_cam(self):
         return ContextAdapter(
@@ -244,6 +248,8 @@ class _CamRetrievalBase(_ClipRetrievalBase):
             residual_activation=self.residual_activation,
             random_skip_adapter=self.random_skip_adapter,
             dtype=self.dtype,
+            moe_experts=int(self.moe_experts),
+            moe_top_k=int(self.moe_top_k),
             name="cam",
         )
 
