@@ -203,3 +203,72 @@ def test_moe_validation():
         MoEMLP(E, 2, router_top_k=3).init(jax.random.PRNGKey(0), x)
     with pytest.raises(ValueError, match="devices"):
         create_ep_mesh(8, 2)
+
+
+@pytest.mark.slow
+def test_moe_cam_learns_to_use_comments():
+    """The quality-slice mechanism test (test_quality_slice.py) with a
+    mixture-of-experts adapter: frozen towers, adapter-only training must
+    still lift comment-conditioned retrieval far above the no-comment
+    baseline — i.e. the MoE adapter is trainable end-to-end through the
+    one-hot dispatch (router + experts get gradient)."""
+    from vtc_tpu.data import tokenizer as tk
+    from vtc_tpu.models import create_model
+    from vtc_tpu.ops.losses import clip_loss
+    from vtc_tpu.ops.retrieval import recall_at_k
+    from vtc_tpu.training.optim import build_optimizer
+    from vtc_tpu.training.trainer import TrainState, make_step_fns
+
+    n = 48
+    rng = np.random.default_rng(0)
+    letters = list("abcdefghijklmnopqrstuvwxyz")
+
+    module, variables = create_model(
+        "PretrainedCLIP_finaltf", model_type="test-tiny", freeze="all",
+        random_skip_adapter=False, seed=0, moe_experts=2, moe_top_k=2,
+    )
+    assert "mlp_moe" in variables["params"]["cam"]["final_transformer"][
+        "resblocks_0"
+    ]
+
+    titles = [f"video {i // 2}" for i in range(n)]  # ambiguous
+    comments = [["".join(rng.choice(letters, 12)), ""] for _ in range(n)]
+    title_tok = tk.tokenize(titles)
+    comment_tok = np.stack([tk.tokenize(c) for c in comments])
+    first_comments = tk.tokenize([c[0] for c in comments])
+    vis = np.asarray(
+        module.apply(
+            variables,
+            jnp.asarray(first_comments),
+            method=lambda m, t: m.clip.encode_text(t),
+        )
+    )
+    vis = (vis / np.linalg.norm(vis, axis=-1, keepdims=True)).astype(np.float32)
+    data = (jnp.asarray(vis), jnp.asarray(title_tok), jnp.asarray(comment_tok))
+
+    tx = build_optimizer(
+        variables["params"], {"type": "Adam", "args": {"lr": 0.02}}, None, 1,
+        branch_to_freeze="all",
+    )
+    train_step, eval_step = make_step_fns(module, clip_loss, tx, donate=False)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=variables["params"],
+        opt_state=tx.init(variables["params"]), batch_stats={},
+    )
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for s in range(80):
+        state, loss, _ = train_step(state, data, {}, jax.random.fold_in(key, s))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] - 1.0
+
+    # the experts really moved (zero-init w_proj grew nonzero)
+    blk = state.params["cam"]["final_transformer"]["resblocks_0"]
+    assert float(jnp.abs(blk["mlp_moe"]["w_proj"]).max()) > 0
+
+    _, out_cam = eval_step(state, data, {})
+    _, out_skip = eval_step(state, data, {}, branch_override="skip")
+    r1_cam = dict(recall_at_k(np.asarray(out_cam[0]), np.asarray(out_cam[1]), [1]))[1]
+    r1_skip = dict(recall_at_k(np.asarray(out_skip[0]), np.asarray(out_skip[1]), [1]))[1]
+    assert r1_skip <= 0.2, r1_skip
+    assert r1_cam >= r1_skip + 0.4, (r1_cam, r1_skip)
