@@ -105,3 +105,43 @@ def test_index_sharded_gallery_arbitrary_size():
     # re-open and save exclude the padding
     tiny.add(emb[3:5], ids[3:5])
     assert len(tiny) == 5
+
+
+def test_service_query_bucketing_one_executable():
+    """Ragged request sizes must NOT recompile the encoder: sizes 3 and 5
+    pad into the same power-of-two bucket (one cache entry per bucket), and
+    bucketed results are identical to the unbucketed service's."""
+    import jax.numpy as jnp
+
+    module, variables = create_model("PretrainedCLIP", model_type="test-tiny")
+    rng = np.random.default_rng(3)
+    images = rng.normal(size=(12, 3, 32, 32)).astype(np.float32)
+    feats = np.asarray(
+        module.apply(variables, jnp.asarray(images), method="encode_image")
+    )
+    feats = feats / np.linalg.norm(feats, axis=-1, keepdims=True)
+    index = RetrievalIndex(feats.shape[-1])
+    index.add(feats, np.arange(12))
+
+    service = ClipRetrievalService(module, variables, index)
+    plain = ClipRetrievalService(module, variables, index,
+                                 bucket_queries=False)
+
+    ids3, s3 = service.search_image(images[:3], k=2)
+    ids5, s5 = service.search_image(images[:5], k=2)
+    assert ids3.shape == (3, 2) and ids5.shape == (5, 2)
+    # both ragged sizes landed in the same bucket-4/8? 3->4, 5->8: two buckets
+    # sizes 3 and 4 share one executable
+    ids4, _ = service.search_image(images[:4], k=2)
+    assert service._encode_image._cache_size() == 2  # buckets {4, 8} only
+
+    pids5, ps5 = plain.search_image(images[:5], k=2)
+    np.testing.assert_array_equal(ids5, pids5)
+    np.testing.assert_allclose(s5, ps5, atol=1e-6)
+
+    # text path buckets too, and a single query stays size 1
+    tokens = tk.tokenize(["q one", "q two", "q three"])
+    ids, _ = service.search_text(tokens, k=2)
+    assert ids.shape == (3, 2)
+    service.search_text(tokens[:1], k=2)
+    assert service._encode_text._cache_size() == 2  # buckets {1, 4}

@@ -139,12 +139,21 @@ class RetrievalIndex:
 
 class ClipRetrievalService:
     """Model + index: tokenized-text or image queries against an embedding
-    gallery, all on device."""
+    gallery, all on device.
 
-    def __init__(self, module, variables, index: RetrievalIndex):
+    Queries are padded to power-of-two batch buckets before encoding
+    (``bucket_queries``): XLA compiles one executable per bucket instead of
+    one per ragged request size — the standard TPU serving discipline
+    (static shapes; a live service otherwise recompiles on every new batch
+    size). Padding rows are sliced off before ranking, so results are
+    byte-identical to the unbucketed path."""
+
+    def __init__(self, module, variables, index: RetrievalIndex,
+                 bucket_queries: bool = True):
         self.module = module
         self.variables = variables
         self.index = index
+        self.bucket_queries = bucket_queries
 
         @jax.jit
         def _encode_text(variables, tokens):
@@ -159,10 +168,23 @@ class ClipRetrievalService:
         self._encode_text = _encode_text
         self._encode_image = _encode_image
 
+    def _bucketed(self, encode, queries):
+        queries = jnp.asarray(queries)
+        n = queries.shape[0]
+        if not self.bucket_queries:
+            return encode(self.variables, queries)
+        bucket = 1 << (n - 1).bit_length() if n > 1 else 1
+        if bucket != n:
+            # repeat-pad with row 0 (valid content keeps every tower's
+            # batch-independent math identical; padded rows are dropped)
+            pad = jnp.broadcast_to(
+                queries[:1], (bucket - n,) + queries.shape[1:]
+            )
+            queries = jnp.concatenate([queries, pad])
+        return encode(self.variables, queries)[:n]
+
     def search_text(self, tokens, k: int = 10):
-        feats = self._encode_text(self.variables, jnp.asarray(tokens))
-        return self.index.search(feats, k)
+        return self.index.search(self._bucketed(self._encode_text, tokens), k)
 
     def search_image(self, images, k: int = 10):
-        feats = self._encode_image(self.variables, jnp.asarray(images))
-        return self.index.search(feats, k)
+        return self.index.search(self._bucketed(self._encode_image, images), k)
