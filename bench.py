@@ -273,6 +273,9 @@ def main():
     }
     if full_ctx is not None:
         result["full_context_pairs_per_sec"] = round(full_ctx, 2)
+    # analytic MFU: 16.0 GFLOP/pair (ViT-B/32 visual tower + 6 text encodes
+    # at 16-token EOT buckets + CAM; PERFORMANCE.md) over the v5e bf16 peak
+    result["mfu"] = round(tpu_pps * 16.0e9 / 197e12, 3)
     print(json.dumps(result))
 
 
