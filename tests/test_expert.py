@@ -42,9 +42,9 @@ def _dense_and_moe(n_experts, top_k, capacity_factor, seed=0):
     mparams = dict(jax.jit(moe.init)(jax.random.PRNGKey(1), x)["params"])
     tile = lambda a: jnp.broadcast_to(a[None], (n_experts,) + a.shape)
     mparams["w_fc"] = tile(dparams["c_fc"]["kernel"])
-    mparams["b_fc"] = tile(dparams["c_fc"]["bias"])
+    mparams["bias_fc"] = tile(dparams["c_fc"]["bias"])
     mparams["w_proj"] = tile(dparams["c_proj"]["kernel"])
-    mparams["b_proj"] = tile(dparams["c_proj"]["bias"])
+    mparams["bias_proj"] = tile(dparams["c_proj"]["bias"])
     return dense, dparams, moe, mparams, x
 
 
@@ -78,10 +78,10 @@ def test_routing_is_top1_expert():
     out = np.asarray(moe.apply({"params": params}, x))
 
     def expert(i, xt):
-        h = xt @ np.asarray(params["w_fc"][i]) + np.asarray(params["b_fc"][i])
+        h = xt @ np.asarray(params["w_fc"][i]) + np.asarray(params["bias_fc"][i])
         h = h * (1.0 / (1.0 + np.exp(-1.702 * h)))
         return h @ np.asarray(params["w_proj"][i]) + np.asarray(
-            params["b_proj"][i]
+            params["bias_proj"][i]
         )
 
     xt = np.asarray(x)
@@ -272,3 +272,92 @@ def test_moe_cam_learns_to_use_comments():
     r1_skip = dict(recall_at_k(np.asarray(out_skip[0]), np.asarray(out_skip[1]), [1]))[1]
     assert r1_skip <= 0.2, r1_skip
     assert r1_cam >= r1_skip + 0.4, (r1_cam, r1_skip)
+
+
+def test_expert_init_scale_matches_dense():
+    """Per-expert kernels must start at the dense MLP's lecun scale — the
+    expert axis is a batch axis, not receptive field (a plain stacked-shape
+    lecun_normal would shrink every expert by sqrt(n_experts))."""
+    x = jnp.zeros((4, E))
+    mparams = jax.jit(MoEMLP(E, 4).init)(jax.random.PRNGKey(0), x)["params"]
+    dparams = jax.jit(MLPBlock(E).init)(
+        jax.random.PRNGKey(0), jnp.zeros((4, 1, E))
+    )["params"]
+    moe_std = float(jnp.std(mparams["w_fc"]))
+    dense_std = float(jnp.std(dparams["c_fc"]["kernel"]))
+    assert abs(moe_std - dense_std) / dense_std < 0.1, (moe_std, dense_std)
+
+
+def test_expert_biases_are_nodecay():
+    """bias_fc/bias_proj must land in the optimizer's no-weight-decay group
+    like every other bias (the reference's decay split, train.py:108)."""
+    from vtc_tpu.training.optim import is_nodecay
+
+    assert is_nodecay("cam/final_transformer/resblocks_0/mlp_moe/bias_fc")
+    assert is_nodecay("cam/final_transformer/resblocks_0/mlp_moe/bias_proj")
+    assert not is_nodecay("cam/final_transformer/resblocks_0/mlp_moe/w_fc")
+    assert not is_nodecay("cam/final_transformer/resblocks_0/mlp_moe/router")
+
+
+def test_load_balance_aux_loss():
+    """The sown Switch aux loss is ~1 at perfect balance and ~n_experts on
+    router collapse — the signal that keeps capacity drops from silently
+    degrading a trained MoE adapter."""
+    rng = np.random.default_rng(6)
+    moe = MoEMLP(E, 2, router_top_k=1, capacity_factor=2.0)
+    x = np.zeros((16, E), np.float32)
+    x[:, 1:] = rng.normal(size=(16, E - 1)) * 0.1
+    x[:, 0] = np.where(np.arange(16) % 2 == 0, 8.0, -8.0)  # perfectly split
+    params = dict(jax.jit(moe.init)(jax.random.PRNGKey(0), x)["params"])
+    router = np.zeros((E, 2), np.float32)
+    router[0, 0], router[0, 1] = 1.0, -1.0
+    params["router"] = jnp.asarray(router)
+
+    _, var = moe.apply({"params": params}, jnp.asarray(x), mutable=["losses"])
+    balanced = float(jax.tree_util.tree_leaves(var["losses"])[0])
+    assert abs(balanced - 1.0) < 0.05, balanced
+
+    x[:, 0] = 8.0  # collapse: everyone picks expert 0
+    _, var = moe.apply({"params": params}, jnp.asarray(x), mutable=["losses"])
+    collapsed = float(jax.tree_util.tree_leaves(var["losses"])[0])
+    assert collapsed > 1.8, collapsed
+
+
+def test_train_step_adds_aux_loss():
+    """make_step_fns folds the sown MoE aux loss into the training loss:
+    the router gets gradient from balance pressure even while the zero-init
+    experts still output nothing."""
+    from vtc_tpu.data import tokenizer as tk
+    from vtc_tpu.models import create_model
+    from vtc_tpu.ops.losses import clip_loss
+    from vtc_tpu.training.optim import build_optimizer
+    from vtc_tpu.training.trainer import TrainState, make_step_fns
+
+    module, variables = create_model(
+        "PretrainedCLIP_finaltf", model_type="test-tiny", freeze="all",
+        random_skip_adapter=False, seed=0, moe_experts=2,
+    )
+    rng = np.random.default_rng(7)
+    vis = rng.normal(size=(8, 32)).astype(np.float32)  # feature passthrough
+    title = tk.tokenize([f"title {i}" for i in range(8)])
+    comments = np.stack([tk.tokenize([f"comment {i}", ""]) for i in range(8)])
+    data = (jnp.asarray(vis), jnp.asarray(title), jnp.asarray(comments))
+
+    tx = build_optimizer(
+        variables["params"], {"type": "Adam", "args": {"lr": 0.01}}, None, 1,
+        branch_to_freeze="all",
+    )
+    train_step, eval_step = make_step_fns(module, clip_loss, tx, donate=False)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=variables["params"],
+        opt_state=tx.init(variables["params"]), batch_stats={},
+    )
+    new_state, loss, out = train_step(state, data, {}, jax.random.PRNGKey(0))
+    eval_loss, _ = eval_step(state, data, {})
+    # train loss = clip loss + 0.01 * aux (aux in [1, 2] here)
+    diff = float(loss) - float(eval_loss)
+    assert 0.005 < diff < 0.025, diff
+    # the router moved on step 1 (balance pressure), not only the experts
+    old = state.params["cam"]["final_transformer"]["resblocks_0"]["mlp_moe"]
+    new = new_state.params["cam"]["final_transformer"]["resblocks_0"]["mlp_moe"]
+    assert not np.allclose(np.asarray(new["router"]), np.asarray(old["router"]))

@@ -151,4 +151,5 @@ def test_sp_collective_profile():
     )
     hlo = fn.lower(stacked, x).compile().as_text()
     assert "all-to-all" not in hlo
+    assert "all-gather" not in hlo  # activations must never be gathered
     assert "collective-permute" in hlo

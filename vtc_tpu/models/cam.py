@@ -230,8 +230,8 @@ def zero_init_cam_params(cam_params: dict, n_layers: int, init_from_avg: bool):
                 blk["mlp_moe"]["w_proj"] = jnp.zeros_like(
                     blk["mlp_moe"]["w_proj"]
                 )
-                blk["mlp_moe"]["b_proj"] = jnp.zeros_like(
-                    blk["mlp_moe"]["b_proj"]
+                blk["mlp_moe"]["bias_proj"] = jnp.zeros_like(
+                    blk["mlp_moe"]["bias_proj"]
                 )
             else:
                 blk["mlp"]["c_proj"]["kernel"] = jnp.zeros_like(

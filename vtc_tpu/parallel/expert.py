@@ -34,6 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..models.layers import quick_gelu
 from .mesh import DATA_AXIS
 
 EXPERT_AXIS = "expert"
@@ -74,10 +75,11 @@ def moe_pspec(path: str) -> Optional[P]:
     over the expert mesh axis), or None for non-MoE params. Kept separate
     from ``mesh._PARAM_RULES`` — those target ``("data","model")`` meshes
     which have no expert axis."""
-    # w_fc/b_fc/w_proj/b_proj are MoE-specific names repo-wide (the dense
-    # MLP uses c_fc/c_proj), whether under an mlp_moe block or standalone
+    # w_fc/bias_fc/w_proj/bias_proj are MoE-specific names repo-wide (the
+    # dense MLP uses c_fc/c_proj), whether under an mlp_moe block or
+    # standalone
     leaf = path.rsplit("/", 1)[-1]
-    if leaf in ("w_fc", "b_fc", "w_proj", "b_proj"):
+    if leaf in ("w_fc", "bias_fc", "w_proj", "bias_proj"):
         return P(EXPERT_AXIS)
     return None
 
@@ -142,6 +144,18 @@ class MoEMLP(nn.Module):
         gates, idx = jax.lax.top_k(probs, k)  # [T, k]
         gates = gates / jnp.sum(gates, axis=-1, keepdims=True)
 
+        # Switch/GShard load-balance auxiliary loss: n_exp · Σ_e f_e · P_e
+        # (f = fraction of tokens whose TOP-1 choice is e, P = mean router
+        # prob) — 1.0 at perfect balance, grows toward n_exp on collapse.
+        # Sown into the "losses" collection; make_step_fns adds it to the
+        # training loss (weighted), which is what prevents router collapse
+        # from silently dropping over-capacity tokens every step.
+        top1 = jax.nn.one_hot(idx[:, 0], n_exp, dtype=jnp.float32)
+        aux = n_exp * jnp.sum(
+            jnp.mean(top1, axis=0) * jnp.mean(probs, axis=0)
+        )
+        self.sow("losses", "moe_aux", aux)
+
         # --- dispatch/combine one-hots (GShard): slot s yields positions
         # after all of slot <s's assignments ---------------------------------
         dispatch = jnp.zeros((t, n_exp, cap), jnp.float32)
@@ -164,18 +178,25 @@ class MoEMLP(nn.Module):
             combine = combine + slot * gates[:, s][:, None, None]
 
         # --- expert FFNs on the dispatched [nE, C, E] activations -----------
+        # batch_axis=0: the expert axis is NOT receptive field — plain
+        # lecun_normal on the stacked shape would count it into fan_in and
+        # start every expert sqrt(n_exp)× smaller than the dense c_fc it
+        # replaces
+        per_expert_lecun = nn.initializers.variance_scaling(
+            1.0, "fan_in", "truncated_normal", batch_axis=(0,)
+        )
         w_fc = self.param(
-            "w_fc", nn.initializers.lecun_normal(), (n_exp, e, 4 * e),
-            jnp.float32,
+            "w_fc", per_expert_lecun, (n_exp, e, 4 * e), jnp.float32,
         )
-        b_fc = self.param("b_fc", nn.initializers.zeros, (n_exp, 4 * e),
-                          jnp.float32)
+        # "bias" in the name keeps these in the optimizer's no-weight-decay
+        # group like every other bias (optim._NODECAY_MATCHES)
+        bias_fc = self.param("bias_fc", nn.initializers.zeros, (n_exp, 4 * e),
+                             jnp.float32)
         w_proj = self.param(
-            "w_proj", nn.initializers.lecun_normal(), (n_exp, 4 * e, e),
-            jnp.float32,
+            "w_proj", per_expert_lecun, (n_exp, 4 * e, e), jnp.float32,
         )
-        b_proj = self.param("b_proj", nn.initializers.zeros, (n_exp, e),
-                            jnp.float32)
+        bias_proj = self.param("bias_proj", nn.initializers.zeros, (n_exp, e),
+                               jnp.float32)
 
         mesh = self.mesh if self.mesh is not None else current_expert_mesh()
 
@@ -194,12 +215,12 @@ class MoEMLP(nn.Module):
         h = jnp.einsum(
             "ecd,edf->ecf", xe, constrain(w_fc.astype(self.dtype)),
             preferred_element_type=jnp.float32,
-        ).astype(self.dtype) + constrain(b_fc.astype(self.dtype))[:, None, :]
-        h = h * jax.nn.sigmoid(1.702 * h)  # QuickGELU, like MLPBlock
+        ).astype(self.dtype) + constrain(bias_fc.astype(self.dtype))[:, None, :]
+        h = quick_gelu(h)
         out = jnp.einsum(
             "ecf,efd->ecd", h, constrain(w_proj.astype(self.dtype)),
             preferred_element_type=jnp.float32,
-        ).astype(self.dtype) + constrain(b_proj.astype(self.dtype))[:, None, :]
+        ).astype(self.dtype) + constrain(bias_proj.astype(self.dtype))[:, None, :]
         out = constrain(out)
 
         y = jnp.einsum(

@@ -36,6 +36,7 @@ import numpy as np
 from jax.experimental.shard_map import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
+from ..models.layers import quick_gelu
 from .mesh import DATA_AXIS
 
 SEQ_AXIS = "seq"
@@ -88,10 +89,6 @@ def _ln32(x, scale, bias, eps=1e-5):
     return (y * scale + bias).astype(dtype)
 
 
-def _quick_gelu(x):
-    return x * jax.nn.sigmoid(1.702 * x)
-
-
 def _ring_attention(q, k, v, mask, *, axis: str, dtype):
     """Online-softmax ring attention over the ``axis`` shards of K/V.
 
@@ -108,8 +105,8 @@ def _ring_attention(q, k, v, mask, *, axis: str, dtype):
             mask, (me * l_loc, src * l_loc), (l_loc, l_loc)
         )
 
-    def step(carry, t):
-        k_cur, v_cur, m, den, num = carry
+    def accumulate(carry, k_cur, v_cur, t):
+        m, den, num = carry
         src = (me - t) % s  # whose K/V shard this device holds at step t
         logits = jnp.einsum(
             "blhd,bmhd->bhlm", q, k_cur, preferred_element_type=jnp.float32
@@ -125,18 +122,33 @@ def _ring_attention(q, k, v, mask, *, axis: str, dtype):
         num = num * corr[..., None] + jnp.einsum(
             "bhlm,bmhd->bhld", p, v_cur, preferred_element_type=jnp.float32
         )
-        if s > 1:
-            perm = [(i, (i + 1) % s) for i in range(s)]
-            k_cur = jax.lax.ppermute(k_cur, axis, perm)
-            v_cur = jax.lax.ppermute(v_cur, axis, perm)
-        return (k_cur, v_cur, m_new, den, num), None
+        return m_new, den, num
 
     m0 = jnp.full((b, h, l_loc), -jnp.inf, jnp.float32)
     den0 = jnp.zeros((b, h, l_loc), jnp.float32)
     num0 = jnp.zeros((b, h, l_loc, q.shape[-1]), jnp.float32)
-    (_, _, _, den, num), _ = jax.lax.scan(
-        step, (k, v, m0, den0, num0), jnp.arange(s)
-    )
+
+    # step 0: the local K/V shard — no communication
+    acc = accumulate((m0, den0, num0), k, v, jnp.int32(0))
+
+    if s > 1:
+        # steps 1..s-1: rotate-then-accumulate, exactly s-1 neighbor hops
+        # per K and V (rotating after the last accumulate would ship a
+        # shard nobody reads)
+        perm = [(i, (i + 1) % s) for i in range(s)]
+
+        def step(carry, t):
+            k_cur, v_cur, m, den, num = carry
+            k_cur = jax.lax.ppermute(k_cur, axis, perm)
+            v_cur = jax.lax.ppermute(v_cur, axis, perm)
+            m, den, num = accumulate((m, den, num), k_cur, v_cur, t)
+            return (k_cur, v_cur, m, den, num), None
+
+        (_, _, _, den, num), _ = jax.lax.scan(
+            step, (k, v) + acc, jnp.arange(1, s)
+        )
+    else:
+        _, den, num = acc
     out = jnp.where(den[..., None] > 0, num / den[..., None], 0.0)
     # [B, H, Lloc, Dh] -> [B, Lloc, H, Dh] (the sequential path's "->...lhd")
     return jnp.transpose(out, (0, 2, 1, 3)).astype(dtype)
@@ -195,7 +207,7 @@ def _block(params, x, mask, *, heads: int, axis: str, dtype):
         ).astype(dtype)
         + m["c_fc"]["bias"].astype(dtype)
     )
-    y = _quick_gelu(y)
+    y = quick_gelu(y)
     y = (
         jnp.einsum(
             "blf,fe->ble", y, m["c_proj"]["kernel"].astype(dtype),

@@ -171,7 +171,9 @@ class ClipRetrievalService:
     def _bucketed(self, encode, queries):
         queries = jnp.asarray(queries)
         n = queries.shape[0]
-        if not self.bucket_queries:
+        if not self.bucket_queries or n == 0:
+            # n == 0: nothing to pad with — fall through to the raw encode
+            # (same behavior as the unbucketed service)
             return encode(self.variables, queries)
         bucket = 1 << (n - 1).bit_length() if n > 1 else 1
         if bucket != n:

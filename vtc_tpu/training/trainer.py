@@ -66,8 +66,13 @@ def _flatten_data(data):
     return tuple(flat)
 
 
-def make_step_fns(module, criterion, tx, donate: bool = True):
-    """Build (train_step, eval_step) for a model module."""
+def make_step_fns(module, criterion, tx, donate: bool = True,
+                  aux_loss_weight: float = 0.01):
+    """Build (train_step, eval_step) for a model module.
+
+    ``aux_loss_weight`` scales any auxiliary losses modules sow into the
+    "losses" collection (currently the MoE adapter's load-balance loss,
+    ``parallel/expert.py`` — the Switch-standard 0.01 default)."""
     import inspect
 
     call_params = inspect.signature(type(module).__call__).parameters
@@ -91,7 +96,8 @@ def make_step_fns(module, criterion, tx, donate: bool = True):
             kwargs["train"] = train
         if branch_override is not None and has_branch_kwarg:
             kwargs["branch_override"] = branch_override
-        mutable_arg = mutable if (train and mutable) else False
+        # "losses" collects sown auxiliary losses (empty for dense models)
+        mutable_arg = mutable + ["losses"] if train else False
         out = module.apply(
             variables, *data, rngs=rngs, mutable=mutable_arg, **kwargs
         )
@@ -108,7 +114,13 @@ def make_step_fns(module, criterion, tx, donate: bool = True):
 
         def loss_fn(params):
             out, new_vars = _apply(params, state.batch_stats, data, True, rngs)
-            return criterion(out, meta), (out, new_vars)
+            loss = criterion(out, meta)
+            aux = jax.tree_util.tree_leaves(new_vars.get("losses", {}))
+            if aux:  # static: present only when the model sows aux losses
+                loss = loss + aux_loss_weight * sum(
+                    jnp.mean(a) for a in aux
+                )
+            return loss, (out, new_vars)
 
         (loss, (out, new_vars)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
