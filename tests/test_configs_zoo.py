@@ -24,7 +24,8 @@ CONFIGS = sorted(CONFIG_DIR.glob("*.jsonc"))
 
 
 def test_config_zoo_is_nonempty():
-    assert len(CONFIGS) == 7, [c.name for c in CONFIGS]
+    # the reference's 7 configs + the frozen-CAM MoE-adapter variant
+    assert len(CONFIGS) == 8, [c.name for c in CONFIGS]
 
 
 @pytest.mark.parametrize("path", CONFIGS, ids=lambda p: p.stem)

@@ -1,0 +1,246 @@
+"""FSDP/ZeRO-3 sharding on the 8-device virtual CPU mesh: spec rules,
+train-step exactness vs single-device, optimizer-state shard sizes, and the
+GSPMD collective signature (all-gather weights, reduce-scatter grads).
+
+Beyond the reference, which replicates the full model per GPU
+(``train.py:77-79``); capability target is torch FSDP / DeepSpeed ZeRO-3,
+built here as pure GSPMD sharding rules (``parallel/mesh.py``)."""
+
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from vtc_tpu.models import create_model
+from vtc_tpu.ops.losses import clip_loss
+from vtc_tpu.parallel import mesh as mesh_mod
+from vtc_tpu.parallel.mesh import (
+    DATA_AXIS,
+    create_mesh,
+    fsdp_pspec,
+    tree_pspecs,
+    tree_shardings,
+)
+from vtc_tpu.training.optim import build_optimizer
+from vtc_tpu.training.trainer import TrainState, make_step_fns
+
+TINY = "test-tiny"
+
+
+def test_fsdp_pspec_rules():
+    # large replicated kernel: biggest divisible dim takes the data axis
+    assert fsdp_pspec("clip/visual/proj", (768, 512), 8) == P(DATA_AXIS, None)
+    # TP-sharded mlp kernel keeps its model axis; data rides the free dim
+    assert fsdp_pspec(
+        "clip/visual/transformer/resblocks_0/mlp/c_fc/kernel", (768, 3072), 8
+    ) == P(DATA_AXIS, "model")
+    # fused qkv [3, E, E]: dim0=3 indivisible, dim1 is TP's -> dim2
+    assert fsdp_pspec(
+        "clip/visual/transformer/resblocks_0/attn/in_proj_weight",
+        (3, 768, 768), 8,
+    ) == P(None, "model", DATA_AXIS)
+    # small leaves stay on their TP spec (gather latency > memory saved)
+    assert fsdp_pspec("clip/visual/ln_pre/scale", (768,), 8) == P()
+    # moments under an opt_state prefix shard like their parameter
+    assert fsdp_pspec(
+        "opt_state/mu/clip/text/token_embedding", (49408, 512), 8
+    ) == P("model", DATA_AXIS)
+    # nothing divisible -> unchanged
+    assert fsdp_pspec("clip/odd", (7, 9, 100001), 8) == P()
+
+
+def test_tree_pspecs_rank_guard():
+    """Scalar leaves at rule-matched paths (the fused optimizer's frozen
+    placeholders, step counters) must degrade to replicated, not raise."""
+    tree = {
+        "opt_state": {"mu": {"attn": {"in_proj_weight": jnp.zeros(())}}},
+        "step": jnp.zeros((), jnp.int32),
+    }
+    specs = tree_pspecs(tree, fsdp_n_data=8)
+    assert specs["opt_state"]["mu"]["attn"]["in_proj_weight"] == P()
+    assert specs["step"] == P()
+
+
+def _model_and_step(seed=0):
+    module, variables = create_model(
+        "PretrainedCLIP_finaltf", model_type=TINY, seed=seed,
+        random_skip_adapter=False,
+    )
+    tx = build_optimizer(
+        variables["params"], {"type": "Adam", "args": {"lr": 1e-2}}, None, 1
+    )
+    train_step, _ = make_step_fns(module, clip_loss, tx, donate=False)
+
+    def make_state(params):
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=tx.init(params),
+            batch_stats=variables.get("batch_stats", {}),
+        )
+
+    return variables, train_step, make_state
+
+
+def _data(batch=8, seed=0):
+    rng = np.random.default_rng(seed)
+    vis = rng.normal(size=(batch, 3, 32, 32)).astype(np.float32)
+    title = rng.integers(1, 49405, size=(batch, 77)).astype(np.int32)
+    comments = rng.integers(1, 49405, size=(batch, 2, 77)).astype(np.int32)
+    return vis, title, comments
+
+
+@pytest.mark.slow
+def test_fsdp_train_step_matches_single_device(monkeypatch):
+    """One dp=8 fsdp training step ≡ the unsharded step — with the shard
+    threshold dropped to 0 so EVERY divisible leaf (params + moments) is
+    data-sharded, not just the token embedding."""
+    monkeypatch.setattr(mesh_mod, "FSDP_MIN_SIZE", 0)
+    variables, train_step, make_state = _model_and_step()
+    vis, title, comments = _data()
+    rng = jax.random.PRNGKey(7)
+
+    state1 = make_state(variables["params"])
+    new1, loss1, _ = train_step(
+        state1, (jnp.asarray(vis), jnp.asarray(title), jnp.asarray(comments)),
+        {}, rng,
+    )
+
+    mesh = create_mesh(8, 1)
+    state2 = make_state(variables["params"])
+    state2 = jax.device_put(state2, tree_shardings(state2, mesh, fsdp=True))
+    ds = NamedSharding(mesh, P(DATA_AXIS))
+    new2, loss2, _ = train_step(
+        state2,
+        (
+            jax.device_put(vis, ds),
+            jax.device_put(title, ds),
+            jax.device_put(comments, ds),
+        ),
+        {},
+        rng,
+    )
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=2e-5)
+    p1 = np.asarray(jax.device_get(new1.params["cam"]["final_linear"]))
+    p2 = np.asarray(jax.device_get(new2.params["cam"]["final_linear"]))
+    np.testing.assert_allclose(p1, p2, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_fsdp_shards_state_and_step_preserves_it():
+    """The memory claim: params AND Adam moments hold 1/8 per device, and
+    the compiled step's OUTPUT state keeps that layout (a step that silently
+    re-replicates would void the high-water saving from step 2 on)."""
+    variables, train_step, make_state = _model_and_step()
+    mesh = create_mesh(8, 1)
+    state = make_state(variables["params"])
+    state = jax.device_put(state, tree_shardings(state, mesh, fsdp=True))
+
+    def shard_fraction(x):
+        return x.addressable_shards[0].data.size / x.size
+
+    emb = state.params["clip"]["text"]["token_embedding"]
+    assert shard_fraction(emb) == pytest.approx(1 / 8)
+    mu_emb = state.opt_state.mu["clip"]["text"]["token_embedding"]
+    assert shard_fraction(mu_emb) == pytest.approx(1 / 8)
+
+    vis, title, comments = _data()
+    ds = NamedSharding(mesh, P(DATA_AXIS))
+    new_state, _, _ = train_step(
+        state,
+        (
+            jax.device_put(vis, ds),
+            jax.device_put(title, ds),
+            jax.device_put(comments, ds),
+        ),
+        {},
+        jax.random.PRNGKey(0),
+    )
+    new_emb = new_state.params["clip"]["text"]["token_embedding"]
+    assert shard_fraction(new_emb) == pytest.approx(1 / 8)
+    new_mu = new_state.opt_state.mu["clip"]["text"]["token_embedding"]
+    assert shard_fraction(new_mu) == pytest.approx(1 / 8)
+
+
+@pytest.mark.slow
+def test_fsdp_collective_signature():
+    """The compiled fsdp step must carry the ZeRO-3 signature: all-gathers
+    (weights re-materialize right before use) and sharded gradient outputs
+    (XLA expresses the reduce-scatter as reduce-scatter or as
+    all-reduce + dynamic-slice depending on backend — either satisfies the
+    memory contract), and — at the production shard threshold — still no
+    all-to-all. (Sharding below FSDP_MIN_SIZE makes GSPMD reshard small ops
+    with all-to-alls; that's why the threshold exists.)"""
+    module, variables = create_model("PretrainedCLIP", model_type=TINY, seed=0)
+    mesh = create_mesh(8, 1)
+    params = jax.device_put(
+        variables["params"], tree_shardings(variables["params"], mesh, fsdp=True)
+    )
+    rng = np.random.default_rng(0)
+    ds = NamedSharding(mesh, P(DATA_AXIS))
+    vis = jax.device_put(
+        rng.normal(size=(8, 3, 32, 32)).astype(np.float32), ds
+    )
+    toks = jax.device_put(rng.integers(1, 49000, (8, 12)).astype(np.int32), ds)
+
+    def loss_fn(params, vis, toks):
+        return clip_loss(module.apply({"params": params}, vis, toks), {})
+
+    # grads inherit the param shardings (what the optimizer update consumes)
+    specs = tree_pspecs(params, fsdp_n_data=8)
+    grad_shardings = jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s), specs
+    )
+    fn = jax.jit(
+        jax.value_and_grad(loss_fn),
+        out_shardings=(NamedSharding(mesh, P()), grad_shardings),
+    )
+    txt = fn.lower(params, vis, toks).compile().as_text()
+
+    def count(op):
+        return len(re.findall(rf"\b{op}(?:-start)?\.", txt)) + len(
+            re.findall(rf" {op}\(", txt)
+        )
+
+    assert count("all-gather") > 0, "weights must be gathered before use"
+    assert count("reduce-scatter") + count("dynamic-slice") > 0, (
+        "grads must land as shards"
+    )
+    assert count("all-to-all") == 0
+
+
+def test_trainer_fsdp_config_shards_state(tmp_path):
+    """The Trainer reads ``fsdp`` from the config and lays the state out
+    sharded (train.py surface: ``--fsdp 1``)."""
+    from vtc_tpu.training.trainer import Trainer
+
+    module, variables = create_model(
+        "PretrainedCLIP_finaltf", model_type=TINY, seed=0,
+        random_skip_adapter=False,
+    )
+    tx = build_optimizer(
+        variables["params"], {"type": "Adam", "args": {"lr": 1e-2}}, None, 1
+    )
+    mesh = create_mesh(8, 1)
+    config = {
+        "trainer": {"epochs": 1, "save_dir": str(tmp_path)},
+        "fsdp": True,
+        "optimizer": {"type": "Adam", "args": {"lr": 1e-2}},
+    }
+
+    class _Cfg(dict):
+        save_dir = tmp_path
+        resume = None
+
+    trainer = Trainer(
+        module, variables, clip_loss, [], tx, _Cfg(config),
+        data_loader=[], mesh=mesh,
+    )
+    emb = trainer.state.params["clip"]["text"]["token_embedding"]
+    assert emb.addressable_shards[0].data.size == emb.size // 8
+    mu = trainer.state.opt_state.mu["clip"]["text"]["token_embedding"]
+    assert mu.addressable_shards[0].data.size == mu.size // 8

@@ -172,6 +172,7 @@ if __name__ == "__main__":
         CustomArgs(["--n_gpu"], type=int, target="n_gpu"),
         CustomArgs(["--n_devices"], type=int, target="n_devices"),
         CustomArgs(["--n_model"], type=int, target="n_model"),
+        CustomArgs(["--fsdp"], type=int, target="fsdp"),
         CustomArgs(["--b", "--branch_to_adapt"], type=str, target="arch;args;branch_to_adapt"),
         CustomArgs(["--bv", "--branch_to_adapt_val"], type=str, target="arch;args;branch_to_adapt_val"),
         CustomArgs(["--nc", "--num_comms"], type=int, target="dataset;args;num_comms"),

@@ -19,6 +19,15 @@ are subsumed by a single ``jax.sharding.Mesh`` with axes ``("data", "model")``:
 
 Everything is GSPMD: param/batch PartitionSpecs are assigned by path rules
 below and XLA inserts the collectives.
+
+Beyond the reference (which replicates the full model per GPU,
+``train.py:77-79``), ``fsdp=True`` additionally shards every large parameter
+— and, because the rules are path-suffix matched, its Adam moments — over
+the ``data`` axis (ZeRO-3/FSDP): each chip holds 1/dp of the params and
+optimizer state, XLA all-gathers weights right before use and
+reduce-scatters gradients, so the memory high-water drops by ~dp× for
+weight+state at the cost of one gather per weight per step (rides ICI).
+Exactness is pinned by ``test_fsdp.py`` (fsdp step ≡ single-device step).
 """
 
 from __future__ import annotations
@@ -76,6 +85,30 @@ def param_pspec(path: str) -> P:
     return P()  # replicated
 
 
+# Parameters smaller than this stay replicated under fsdp: gathering a
+# 3 KB LayerNorm scale costs more in collective latency than the shard
+# saves in HBM. 64k fp32 elements = 256 KB — sharding starts paying there.
+FSDP_MIN_SIZE = 65536
+
+
+def fsdp_pspec(path: str, shape, n_data: int) -> P:
+    """ZeRO/FSDP spec: the TP spec with the largest still-unsharded,
+    ``n_data``-divisible dim additionally sharded over the data axis.
+    Small leaves (< FSDP_MIN_SIZE elements) keep their TP spec."""
+    spec = param_pspec(path)
+    if int(np.prod(shape)) < FSDP_MIN_SIZE:
+        return spec
+    dims = tuple(spec) + (None,) * (len(shape) - len(spec))
+    best = None
+    for i, (d, axis) in enumerate(zip(shape, dims)):
+        if axis is None and d % n_data == 0:
+            if best is None or d > shape[best]:
+                best = i
+    if best is None:
+        return spec
+    return P(*dims[:best], DATA_AXIS, *dims[best + 1 :])
+
+
 def _path_str(path) -> str:
     parts = []
     for p in path:
@@ -83,18 +116,37 @@ def _path_str(path) -> str:
     return "/".join(parts)
 
 
-def tree_pspecs(tree):
-    """Pytree of PartitionSpecs for a parameter tree."""
-    return jax.tree_util.tree_map_with_path(
-        lambda path, _: param_pspec(_path_str(path)), tree
-    )
+def tree_pspecs(tree, fsdp_n_data: Optional[int] = None):
+    """Pytree of PartitionSpecs for a parameter (or whole train-state) tree.
+    Rules are path-SUFFIX matched, so they apply equally under an
+    ``opt_state/mu/...`` prefix — the Adam moments shard exactly like their
+    parameter, which is what makes fsdp a ZeRO-3 (param+state) shard, not a
+    weights-only one. Leaves whose rank is below the matched spec (the fused
+    optimizer's scalar frozen-moment placeholders, step counters) degrade to
+    replicated."""
+
+    def spec_for(path, leaf):
+        path = _path_str(path)
+        shape = tuple(getattr(leaf, "shape", ()))
+        spec = (
+            fsdp_pspec(path, shape, fsdp_n_data)
+            if fsdp_n_data
+            else param_pspec(path)
+        )
+        if len(spec) > len(shape):
+            return P()
+        return spec
+
+    return jax.tree_util.tree_map_with_path(spec_for, tree)
 
 
-def tree_shardings(tree, mesh: Mesh):
+def tree_shardings(tree, mesh: Mesh, fsdp: bool = False):
     """NamedShardings for a parameter tree; raises when the mesh's model
     axis does not divide a sharded parameter dim (GSPMD would silently pad
     and reshard, voiding the pinned zero-collective profile — e.g. tp=3 on
-    the text tower's E=512 rows)."""
+    the text tower's E=512 rows). ``fsdp=True`` additionally shards large
+    leaves over the data axis (see module docstring); fsdp_pspec only picks
+    divisible dims, so no new failure mode."""
 
     def check(path, leaf, spec):
         for dim, axis in zip(getattr(leaf, "shape", ()), spec):
@@ -111,7 +163,10 @@ def tree_shardings(tree, mesh: Mesh):
                 )
         return NamedSharding(mesh, spec)
 
-    return jax.tree_util.tree_map_with_path(check, tree, tree_pspecs(tree))
+    specs = tree_pspecs(
+        tree, fsdp_n_data=mesh.shape[DATA_AXIS] if fsdp else None
+    )
+    return jax.tree_util.tree_map_with_path(check, tree, specs)
 
 
 def batch_pspec():

@@ -244,21 +244,33 @@ class Trainer:
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         opt_state = tx.init(params)
+        self.fsdp = bool(config.get("fsdp", False))
         self.state = TrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
             opt_state=opt_state,
             batch_stats=batch_stats,
         )
-        if self.mesh is not None:
-            from ..parallel.mesh import replicated
-
-            self.state = jax.device_put(self.state, replicated(self.mesh))
+        self._shard_state()
 
         if getattr(config, "resume", None) is not None:
             self._resume_checkpoint(config.resume)
 
     # ------------------------------------------------------------------ #
+
+    def _shard_state(self):
+        """Lay the train state out over the mesh: TP params by the Megatron
+        rules, everything else replicated — or, with ``fsdp`` in the config,
+        large params AND their Adam moments sharded over the data axis
+        (ZeRO-3; parallel/mesh.py module docstring). The reference replicates
+        the full model per GPU (``train.py:77-79``)."""
+        if self.mesh is None:
+            return
+        from ..parallel.mesh import tree_shardings
+
+        self.state = jax.device_put(
+            self.state, tree_shardings(self.state, self.mesh, fsdp=self.fsdp)
+        )
 
     def _put_batch(self, tree):
         if self.mesh is not None:
@@ -629,10 +641,7 @@ class Trainer:
             batch_stats=jax.tree_util.tree_map(jnp.asarray, batch_stats),
             opt_state=opt_state,
         )
-        if self.mesh is not None:
-            from ..parallel.mesh import replicated
-
-            self.state = jax.device_put(self.state, replicated(self.mesh))
+        self._shard_state()
         self.logger.info(
             "Checkpoint loaded. Resume training from epoch %d", self.start_epoch
         )
