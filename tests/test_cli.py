@@ -108,6 +108,57 @@ def test_train_cli_main(corpus):
     assert (run_dir / "config.json").exists()
 
 
+@pytest.mark.slow
+@pytest.mark.parametrize("axis_key", ["pp", "sp"])
+def test_train_cli_stack_parallel(corpus, axis_key):
+    """--pp / --sp are real training configurations: the SAME train.py main()
+    builds the ("data","pipe"/"seq") mesh, routes the block stacks through
+    parallel/stack.py, trains, and checkpoints (generalizes the reference's
+    --visual_device split, train.py:270)."""
+    from vtc_tpu.parallel.stack import set_stack_parallel, stack_parallel_mode
+
+    tmp_path, csv, root = corpus
+    cfg = _config(tmp_path, csv, root)
+    cfg["name"] = f"cli_{axis_key}"
+    cfg["n_devices"] = 2
+    cfg[axis_key] = 2
+    if axis_key == "pp":
+        cfg["n_micro"] = 2
+    cfg_path = tmp_path / f"cfg_{axis_key}.jsonc"
+    cfg_path.write_text(json.dumps(cfg))
+
+    import train as train_cli
+    from vtc_tpu.config import ConfigParser
+    from vtc_tpu.utils import read_json
+
+    config = ConfigParser(read_json(cfg_path))
+    try:
+        train_cli.main(config)
+        assert stack_parallel_mode() == {"pp": "pipe", "sp": "seq"}[axis_key]
+    finally:
+        set_stack_parallel(None)  # process-global: never leak past the test
+
+    run_dir = config.save_dir
+    assert (run_dir / "checkpoint-epoch1").exists()
+    log = json.loads((run_dir / "config.json").read_text())
+    assert log[axis_key] == 2
+
+
+def test_train_cli_rejects_conflicting_mesh_axes(corpus):
+    tmp_path, csv, root = corpus
+    cfg = _config(tmp_path, csv, root)
+    cfg["n_devices"], cfg["pp"], cfg["sp"] = 2, 2, 2
+    cfg_path = tmp_path / "cfg_conflict.jsonc"
+    cfg_path.write_text(json.dumps(cfg))
+
+    import train as train_cli
+    from vtc_tpu.config import ConfigParser
+    from vtc_tpu.utils import read_json
+
+    with pytest.raises(ValueError, match="at most one non-data mesh axis"):
+        train_cli.main(ConfigParser(read_json(cfg_path)))
+
+
 def test_eval_cli_main(corpus, monkeypatch, tmp_path):
     monkeypatch.chdir(tmp_path)  # eval writes its result json to cwd
     tmp_path, csv, root = corpus

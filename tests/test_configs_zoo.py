@@ -28,6 +28,21 @@ def test_config_zoo_is_nonempty():
     assert len(CONFIGS) == 8, [c.name for c in CONFIGS]
 
 
+def test_moe_config_surfaces_aux_loss_weight(tmp_path):
+    """The router's load-balance weight is a config knob (consumed by
+    Trainer -> make_step_fns), not a hardcoded constant."""
+    cfg = read_json(CONFIG_DIR / "pretrained_clip_comments_attn_moe.jsonc")
+    assert cfg["moe_aux_loss_weight"] == 0.01  # Switch-Transformer default
+
+    import inspect
+
+    from vtc_tpu.training.trainer import Trainer, make_step_fns
+
+    assert "aux_loss_weight" in inspect.signature(make_step_fns).parameters
+    src = inspect.getsource(Trainer.__init__)
+    assert "moe_aux_loss_weight" in src
+
+
 @pytest.mark.parametrize("path", CONFIGS, ids=lambda p: p.stem)
 def test_config_loads_and_constructs(path, tmp_path):
     cfg = read_json(path)

@@ -92,16 +92,41 @@ def main(config: ConfigParser):
     )
     logger.info("Model: %s", arch_cfg["type"])
 
-    # mesh: n_devices data-parallel x n_model tensor-parallel
+    # mesh: n_devices data-parallel x ONE of {n_model tensor-parallel,
+    # pp pipeline stages, sp sequence shards} on the second axis
     # (config key n_gpu kept for config compatibility)
     n_devices = int(config.get("n_devices", config.get("n_gpu", 1)) or 1)
-    n_model = int(config.get("n_model", 1))
+    n_model = int(config.get("n_model", 1) or 1)
+    n_pp = int(config.get("pp", 1) or 1)
+    n_sp = int(config.get("sp", 1) or 1)
+    if sum(n > 1 for n in (n_model, n_pp, n_sp)) > 1:
+        raise ValueError(
+            f"pick at most one non-data mesh axis per run: "
+            f"n_model={n_model}, pp={n_pp}, sp={n_sp}"
+        )
+    n_second = max(n_model, n_pp, n_sp)
     mesh = None
     import jax
 
-    if n_devices * n_model > 1:
-        if len(jax.devices()) >= n_devices * n_model:
-            mesh = create_mesh(n_devices, n_model)
+    from vtc_tpu.parallel.stack import set_stack_parallel
+
+    set_stack_parallel(None)  # newest run wins over any prior process state
+    if n_devices * n_second > 1:
+        if len(jax.devices()) >= n_devices * n_second:
+            if n_pp > 1:
+                from vtc_tpu.parallel.pipeline import create_pipeline_mesh
+
+                mesh = create_pipeline_mesh(n_devices, n_pp)
+                set_stack_parallel(
+                    "pipe", mesh, n_micro=int(config.get("n_micro", 4) or 4)
+                )
+            elif n_sp > 1:
+                from vtc_tpu.parallel.sequence import create_sp_mesh
+
+                mesh = create_sp_mesh(n_devices, n_sp)
+                set_stack_parallel("seq", mesh)
+            else:
+                mesh = create_mesh(n_devices, n_model)
             logger.info("Mesh: %s", mesh)
         else:
             # the reference warns on a device shortfall (utils/util.py:78-98)
@@ -110,7 +135,7 @@ def main(config: ConfigParser):
             logger.warning(
                 "Requested a %dx%d mesh but only %d device(s) are "
                 "available; training UNSHARDED on one device.",
-                n_devices, n_model, len(jax.devices()),
+                n_devices, n_second, len(jax.devices()),
             )
 
     criterion = LOSSES[config["loss"]]
@@ -173,6 +198,11 @@ if __name__ == "__main__":
         CustomArgs(["--n_devices"], type=int, target="n_devices"),
         CustomArgs(["--n_model"], type=int, target="n_model"),
         CustomArgs(["--fsdp"], type=int, target="fsdp"),
+        CustomArgs(["--pp"], type=int, target="pp"),
+        CustomArgs(["--sp"], type=int, target="sp"),
+        CustomArgs(["--n_micro"], type=int, target="n_micro"),
+        CustomArgs(["--moe_aux_loss_weight"], type=float,
+                   target="moe_aux_loss_weight"),
         CustomArgs(["--b", "--branch_to_adapt"], type=str, target="arch;args;branch_to_adapt"),
         CustomArgs(["--bv", "--branch_to_adapt_val"], type=str, target="arch;args;branch_to_adapt_val"),
         CustomArgs(["--nc", "--num_comms"], type=int, target="dataset;args;num_comms"),

@@ -569,6 +569,19 @@ class Transformer(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask: Optional[jax.Array] = None):
+        if not self.is_initializing():
+            # config-selected pipeline/sequence sharding of this stack
+            # (train.py --pp/--sp -> parallel.stack.set_stack_parallel);
+            # returns None when off or this stack is ineligible
+            from ..parallel.stack import (
+                stack_parallel_mode,
+                transformer_stack_override,
+            )
+
+            if stack_parallel_mode() is not None:
+                out = transformer_stack_override(self, x, mask)
+                if out is not None:
+                    return out
         block_cls = ResidualAttentionBlock
         if use_remat():
             block_cls = nn.remat(ResidualAttentionBlock, static_argnums=())

@@ -175,15 +175,29 @@ class TimeSformer(nn.Module):
 
         from .layers import use_remat
 
-        block_cls = TimeSformerBlock
-        if use_remat():
-            block_cls = nn.remat(TimeSformerBlock, static_argnums=(2,))
         xx = LayerNorm32(name="ln_pre")(xx)
-        for i in range(v.vision_layers):
-            xx = block_cls(
-                width, v.vision_heads, dtype=self.dtype,
-                name=f"transformer_resblocks_{i}",
-            )(xx, F)
+        pp_out = None
+        if not self.is_initializing():
+            # config-selected pipeline stages over the divided-attention
+            # stack (train.py --pp -> parallel.stack.set_stack_parallel)
+            from ..parallel.stack import (
+                stack_parallel_mode,
+                timesformer_stack_override,
+            )
+
+            if stack_parallel_mode() is not None:
+                pp_out = timesformer_stack_override(self, xx, F)
+        if pp_out is not None:
+            xx = pp_out
+        else:
+            block_cls = TimeSformerBlock
+            if use_remat():
+                block_cls = nn.remat(TimeSformerBlock, static_argnums=(2,))
+            for i in range(v.vision_layers):
+                xx = block_cls(
+                    width, v.vision_heads, dtype=self.dtype,
+                    name=f"transformer_resblocks_{i}",
+                )(xx, F)
         xx = LayerNorm32(name="ln_post")(xx[:, 0])
 
         proj = self.param(

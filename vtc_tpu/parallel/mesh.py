@@ -146,9 +146,19 @@ def tree_shardings(tree, mesh: Mesh, fsdp: bool = False):
     and reshard, voiding the pinned zero-collective profile — e.g. tp=3 on
     the text tower's E=512 rows). ``fsdp=True`` additionally shards large
     leaves over the data axis (see module docstring); fsdp_pspec only picks
-    divisible dims, so no new failure mode."""
+    divisible dims, so no new failure mode.
+
+    Axes absent from the mesh degrade to replicated: the tp rules name the
+    ``model`` axis, which pipeline (``("data","pipe")``), sequence
+    (``("data","seq")``) and expert meshes don't have — on those meshes the
+    params replicate (their sharding lives in the shard_map schedules /
+    expert constraints instead)."""
 
     def check(path, leaf, spec):
+        if any(axis is not None and axis not in mesh.shape for axis in spec):
+            spec = P(
+                *(a if (a is None or a in mesh.shape) else None for a in spec)
+            )
         for dim, axis in zip(getattr(leaf, "shape", ()), spec):
             if axis is None:
                 continue

@@ -57,6 +57,7 @@ def pipeline_blocks(
     mesh: Mesh,
     n_micro: int,
     axis: str = PIPE_AXIS,
+    batch_axis: Optional[str] = None,
 ):
     """Apply ``n_layers`` identical blocks to ``x`` as a microbatch pipeline.
 
@@ -64,13 +65,19 @@ def pipeline_blocks(
       block_apply: ``(layer_params, h) -> h`` for ONE block (close over any
         mask / static config).
       stacked_params: pytree with leading layer axis (``stack_layer_params``).
-      x: ``[B, ...]`` activations; ``B`` must divide by ``n_micro``.
-      mesh: mesh containing ``axis``; other axes see replicated compute.
+      x: ``[B, ...]`` activations; the per-batch-shard ``B`` must divide by
+        ``n_micro``.
+      mesh: mesh containing ``axis``; other axes see replicated compute
+        unless named by ``batch_axis``.
       n_micro: number of microbatches streamed through the stages.
       axis: mesh axis name holding the stages.
+      batch_axis: mesh axis the leading (batch) dim of ``x`` is sharded
+        over — the dp×pp composition: each data shard runs its own
+        microbatch pipeline over the same stages. None replicates the batch
+        (every data position computes the full pipeline).
 
-    Returns ``[B, ...]`` activations, replicated like the input (the last
-    stage's outputs are broadcast back with one psum).
+    Returns ``[B, ...]`` activations, sharded like the input (the last
+    stage's outputs are broadcast back along the pipe axis with one psum).
     """
     n_stages = mesh.shape[axis]
     n_layers = jax.tree_util.tree_leaves(stacked_params)[0].shape[0]
@@ -79,8 +86,18 @@ def pipeline_blocks(
             f"{n_layers} layers do not divide over {n_stages} pipeline stages"
         )
     batch = x.shape[0]
-    if batch % n_micro:
-        raise ValueError(f"batch {batch} does not divide into {n_micro} microbatches")
+    n_batch_shards = mesh.shape[batch_axis] if batch_axis else 1
+    if batch % n_batch_shards:
+        raise ValueError(
+            f"batch {batch} does not divide over {n_batch_shards} "
+            f"{batch_axis!r} shards"
+        )
+    local_batch = batch // n_batch_shards
+    if local_batch % n_micro:
+        raise ValueError(
+            f"per-shard batch {local_batch} does not divide into "
+            f"{n_micro} microbatches"
+        )
     if n_stages == 1:
         # degenerate pipeline: just scan the blocks
         def one(h, p):
@@ -88,11 +105,13 @@ def pipeline_blocks(
 
         return jax.lax.scan(one, x, stacked_params)[0]
 
-    x_micro = x.reshape(n_micro, batch // n_micro, *x.shape[1:])
     n_ticks = n_micro + n_stages - 1
 
-    def stage_fn(local_params, xm):
-        # local_params: this stage's [n_layers/n_stages, ...] blocks
+    def stage_fn(local_params, xl):
+        # local_params: this stage's [n_layers/n_stages, ...] blocks;
+        # xl: this data shard's [local_batch, ...] rows — the microbatch
+        # split happens here, AFTER the batch sharding, so the two compose
+        xm = xl.reshape(n_micro, local_batch // n_micro, *xl.shape[1:])
         stage = jax.lax.axis_index(axis)
 
         def run_stage(h):
@@ -130,16 +149,16 @@ def pipeline_blocks(
         outs = jax.lax.psum(
             jnp.where(stage == n_stages - 1, outs, jnp.zeros_like(outs)), axis
         )
-        return outs
+        return outs.reshape(local_batch, *xl.shape[1:])
 
-    out = shard_map(
+    x_spec = P(batch_axis) if batch_axis else P()
+    return shard_map(
         stage_fn,
         mesh=mesh,
-        in_specs=(P(axis), P()),
-        out_specs=P(),
+        in_specs=(P(axis), x_spec),
+        out_specs=x_spec,
         check_rep=False,
-    )(stacked_params, x_micro)
-    return out.reshape(batch, *x.shape[1:])
+    )(stacked_params, x)
 
 
 def clip_block_apply(
@@ -195,6 +214,10 @@ def create_pipeline_mesh(n_data: int, n_pipe: int, devices=None) -> Mesh:
             f"need {n_data * n_pipe} devices, have {len(devices)}"
         )
     arr = np.array(devices[: n_data * n_pipe]).reshape(n_data, n_pipe)
+    from ..models import layers
     from .mesh import DATA_AXIS
 
+    # newest-mesh-wins (like create_mesh): a pipe mesh has no tp axis, so
+    # attention drops back to the merged single-GEMM qkv form
+    layers.set_tp_qkv(False, 1)
     return Mesh(arr, (DATA_AXIS, PIPE_AXIS))

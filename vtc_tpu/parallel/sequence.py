@@ -48,6 +48,11 @@ def create_sp_mesh(n_data: int, n_seq: int, devices=None) -> Mesh:
     if len(devices) < n_data * n_seq:
         raise ValueError(f"need {n_data * n_seq} devices, have {len(devices)}")
     arr = np.array(devices[: n_data * n_seq]).reshape(n_data, n_seq)
+    # newest-mesh-wins (like create_mesh): an sp mesh has no tp axis, so
+    # attention drops back to the merged single-GEMM qkv form
+    from ..models import layers
+
+    layers.set_tp_qkv(False, 1)
     return Mesh(arr, (DATA_AXIS, SEQ_AXIS))
 
 

@@ -239,7 +239,12 @@ class Trainer:
         self.valid_metrics.add_metric(LossMetric())
         self.valid_metrics.set_writer(self.writer)
 
-        self.train_step, self.eval_step = make_step_fns(module, criterion, tx)
+        # config-surfaced MoE load-balance weight (Switch-standard default;
+        # only consumed when the model sows aux losses)
+        aux_w = float(config.get("moe_aux_loss_weight", 0.01))
+        self.train_step, self.eval_step = make_step_fns(
+            module, criterion, tx, aux_loss_weight=aux_w
+        )
 
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
