@@ -273,6 +273,16 @@ def main():
     }
     if full_ctx is not None:
         result["full_context_pairs_per_sec"] = round(full_ctx, 2)
+    # the north-star quality metric (BASELINE.md Table 6a/6b) needs real
+    # CLIP weights + BPE merges, absent in this container; record WHY it is
+    # missing in every round's artifact instead of silently omitting it
+    if os.environ.get("VTC_CLIP_WEIGHTS"):
+        result["quality_parity"] = "run scripts/verify_real_weights.py"
+    else:
+        result["quality_parity"] = (
+            "asset-gated — set VTC_CLIP_WEIGHTS/VTC_BPE_VOCAB and run "
+            "scripts/verify_real_weights.py"
+        )
     # analytic MFU: 16.0 GFLOP/pair (ViT-B/32 visual tower + 6 text encodes
     # at 16-token EOT buckets + CAM; PERFORMANCE.md) over the v5e bf16 peak
     result["mfu"] = round(tpu_pps * 16.0e9 / 197e12, 3)

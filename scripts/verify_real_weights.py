@@ -26,6 +26,13 @@ Stages (each runs iff its asset is present, and fails loudly otherwise):
    optional ``VTC_TABLE6A_ROW=img+title+cmts-2stage``) — the full
    TVR+VTR R@1/5/10 row with comments through the CAM eval forward,
    gated against the named README row when given.
+5. **Table-6b video row** (``VTC_VIDEO_CKPT=...``, optional
+   ``VTC_TABLE6B_ROW=video+comments-8``) — image-CAM checkpoint
+   warm-started into the TimeSformer CAM model (ViT→TimeSformer weight
+   surgery + the warm-start key contract) → chunked video eval on the VTC
+   test split → the two published VTC R@10 numbers. This is the one
+   real-weights flow where layout migration, weight surgery and chunked
+   eval compose (``README.md:126-132``).
 
 Each stage function is importable; ``tests/test_real_weights_harness.py``
 runs them against the HF-random twin + fallback vocab so the plumbing
@@ -66,6 +73,16 @@ TABLE6A_ROWS = {
     "img+title+cmts": (18.0, 43.2, 18.7, 43.9),
     "img+title+cmts-2stage": (28.2, 51.2, 25.1, 49.9),
     "img+title+cmts+audio": (19.6, 45.6, 20.6, 47.2),
+}
+
+# Table 6b VTC video rows (README.md:126-132) — only R@10 is published.
+# Keyed "{inference}-{nframes}"; values: (VTC VTR R@10, VTC TVR R@10).
+TABLE6B_ROWS = {
+    "video-1": (28.9, 28.3),
+    "video+comments-1": (40.8, 41.0),
+    "mean-pooling-8": (19.3, 24.2),
+    "video-8": (28.9, 27.6),
+    "video+comments-8": (41.5, 41.9),
 }
 
 
@@ -349,6 +366,129 @@ def stage_table6a(
     return result
 
 
+def stage_table6b(
+    csv_file,
+    data_root,
+    ckpt_path,
+    model_type: str = "ViT-B/32",
+    num_comms: int = 5,
+    limit=None,
+    table_row: str = None,
+    branch_to_adapt: str = "text",
+    dataset=None,
+) -> dict:
+    """Table-6b VTC video row (``/root/reference/README.md:126-132``): an
+    image-CAM checkpoint warm-started into the video model, then chunked
+    video eval on the VTC test split — the one real-weights flow where the
+    ViT→TimeSformer weight surgery, the warm-start key contract
+    (``base_trainer.py:165-176``) and chunked eval
+    (``evaluation/retrieval_evaluation.py:174-259``) compose.
+
+    ``ckpt_path``: an image-CAM (``PretrainedCLIP_finaltf``) checkpoint —
+    its ViT visual tower goes through
+    :func:`timesformer_params_from_clip_visual`; a checkpoint whose visual
+    tower is already TimeSformer-shaped grafts directly. ``table_row`` names
+    a TABLE6B_ROWS entry; its suffix picks nframes (1 or 8) and its
+    inference combo picks the arch and comment branch:
+
+    - ``video-N``: TimeSformer tower, comments skipped at inference
+    - ``video+comments-N``: TimeSformer tower + CAM over real comments
+    - ``mean-pooling-8``: the frame-averaging baseline — the image model's
+      5-D dispatch (mean over frame embeddings), no surgery, no comments
+
+    Only the two VTC columns (VTR/TVR R@10) are published, so only those are
+    gated (±ZERO_SHOT_TOLERANCE). ``dataset`` overrides the VTC test-split
+    dataset (plumbing tests); ``limit`` skips the README comparison."""
+    from vtc_tpu.data.datasets import VideoDatasetReddit
+    from vtc_tpu.evaluation import retrieval_evaluation
+    from vtc_tpu.models import create_model
+    from vtc_tpu.models.clip_model import CLIP_VARIANTS
+    from vtc_tpu.models.timesformer import timesformer_params_from_clip_visual
+    from vtc_tpu.training.checkpoints import (
+        assert_warm_start_keys,
+        graft_params,
+        load_checkpoint,
+    )
+
+    table_row = table_row or "video+comments-8"
+    if table_row not in TABLE6B_ROWS:
+        # validate BEFORE the multi-minute eval, not at the final lookup
+        raise ValueError(
+            f"unknown VTC_TABLE6B_ROW {table_row!r}; valid rows: "
+            f"{sorted(TABLE6B_ROWS)}"
+        )
+    combo, nframes = table_row.rsplit("-", 1)
+    nframes = int(nframes)
+    mean_pooling = combo == "mean-pooling"
+    branch_override = None if "+comments" in combo else "skip"
+
+    if mean_pooling:
+        module, variables = create_model(
+            "PretrainedCLIP_finaltf", model_type=model_type,
+            branch_to_adapt_val=branch_to_adapt,
+        )
+    else:
+        module, variables = create_model(
+            "PretrainedCLIP_TimeSformer_finaltf", model_type=model_type,
+            nframes=nframes, branch_to_adapt_val=branch_to_adapt,
+        )
+
+    restored = load_checkpoint(ckpt_path)
+    loaded = dict(restored["params"])
+    visual = dict(loaded.get("clip", {})).get("visual", {})
+    # ViT layout keeps the block stack under visual/transformer/resblocks_i;
+    # the TimeSformer layout hoists it to visual/transformer_resblocks_i
+    is_image_ckpt = "transformer" in visual
+    if is_image_ckpt and not mean_pooling:
+        clip = dict(loaded["clip"])
+        clip["visual"] = timesformer_params_from_clip_visual(
+            visual, CLIP_VARIANTS[model_type], nframes=nframes
+        )
+        loaded["clip"] = clip
+    params, missing, unexpected = graft_params(variables["params"], loaded)
+    assert_warm_start_keys(missing, unexpected)
+    variables = dict(variables)
+    variables["params"] = params
+    if restored.get("batch_stats"):
+        variables["batch_stats"], _, _ = graft_params(
+            variables.get("batch_stats", {}), restored["batch_stats"]
+        )
+
+    if dataset is None:
+        dataset = VideoDatasetReddit(
+            root=data_root, reddit_csv=csv_file, num_comms=num_comms,
+            test_set_limit=limit or 5000,
+        )
+
+    # the VTC video dataset delivers its (preprocessed) frame set directly,
+    # so stride 1; nframes-1 rows take only the first single-frame chunk
+    df = retrieval_evaluation(
+        module, variables, "Reddit_videos", "test",
+        frame_stride=1, nframes=nframes,
+        first_chunk_only=(nframes == 1),
+        branch_override=branch_override,
+        dataset=dataset,
+    )
+    vtr_col = [c for c in df.columns if "Video to Text" in c][0]
+    tvr_col = [c for c in df.columns if "Text to Video" in c][0]
+    result = {
+        "n": len(dataset), "ckpt": str(ckpt_path), "row": table_row,
+        "warm_start": "surgery" if (is_image_ckpt and not mean_pooling)
+        else "direct",
+        "vtr_r10": float(df.loc["R@10", vtr_col]),
+        "tvr_r10": float(df.loc["R@10", tvr_col]),
+    }
+    if limit is None:
+        want_vtr, want_tvr = TABLE6B_ROWS[table_row]
+        result["ok"] = (
+            abs(result["vtr_r10"] - want_vtr) <= ZERO_SHOT_TOLERANCE
+            and abs(result["tvr_r10"] - want_tvr) <= ZERO_SHOT_TOLERANCE
+        )
+    else:
+        result["ok"] = True  # plumbing mode: ran end-to-end
+    return result
+
+
 def main() -> int:
     from vtc_tpu.data.tokenizer import _find_vocab_file
 
@@ -416,6 +556,27 @@ def main() -> int:
     else:
         print("[table6a] SKIPPED — set VTC_CKPT (+ VTC_DATA_CSV/VTC_DATA_ROOT; "
               "optional VTC_TABLE6A_ROW to gate against a README row)")
+
+    vckpt = os.environ.get("VTC_VIDEO_CKPT")
+    if vckpt and os.path.exists(vckpt) and csv_file and root and os.path.exists(csv_file):
+        ran.append("table6b")
+        res = stage_table6b(
+            csv_file, root, vckpt,
+            table_row=os.environ.get("VTC_TABLE6B_ROW"),
+        )
+        print(
+            f"[table6b] n={res['n']} row={res['row']} "
+            f"warm_start={res['warm_start']} "
+            f"VTR R@10={res['vtr_r10']:.1f} TVR R@10={res['tvr_r10']:.1f} "
+            f"(target {TABLE6B_ROWS[res['row']]} ±{ZERO_SHOT_TOLERANCE}) "
+            f"ok={res['ok']}"
+        )
+        if not res["ok"]:
+            failures.append(("table6b", res))
+    else:
+        print("[table6b] SKIPPED — set VTC_VIDEO_CKPT to an image-CAM or "
+              "video checkpoint (+ VTC_DATA_CSV/VTC_DATA_ROOT; optional "
+              "VTC_TABLE6B_ROW, default video+comments-8)")
 
     if not ran:
         print("\nNo real assets found; nothing verified. "

@@ -240,6 +240,81 @@ def test_stage_table6a_runs_end_to_end(tmp_path):
         assert 0.0 <= res[key] <= 100.0
 
 
+class _TinyVideoDataset:
+    """Items in VideoDatasetReddit's format — (frames[8,3,r,r] float,
+    captions[1,77], comments[k,77], id) — at the test-tiny resolution (the
+    real dataset preprocesses at 224, which only fits the full variants)."""
+
+    def __init__(self, n=12, res=32, seed=0):
+        self.rng = np.random.default_rng(seed)
+        self.items = []
+        for i in range(n):
+            frames = self.rng.normal(size=(8, 3, res, res)).astype(np.float32)
+            caps = np.zeros((1, 77), np.int32)
+            caps[0, 0], caps[0, 1 + i % 5] = 49406, 49407
+            caps[0, 1:1 + i % 5] = self.rng.integers(1, 49000, i % 5)
+            comms = np.zeros((3, 77), np.int32)
+            comms[:, 0], comms[:, 2] = 49406, 49407
+            comms[:, 1] = self.rng.integers(1, 49000, 3)
+            self.items.append((frames, caps, comms, i))
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, i):
+        return self.items[i]
+
+
+@pytest.mark.slow
+def test_stage_table6b_runs_end_to_end(tmp_path):
+    """Image-CAM checkpoint -> ViT→TimeSformer surgery -> warm-start key
+    contract -> chunked video eval, as ONE flow (VERDICT r3 item 3). Also
+    the mean-pooling row (direct graft, 5-D averaging dispatch)."""
+    from vtc_tpu.models import create_model
+    from vtc_tpu.training.checkpoints import save_checkpoint
+
+    module, variables = create_model(
+        "PretrainedCLIP_finaltf", model_type="test-tiny", seed=5
+    )
+    save_checkpoint(
+        tmp_path, "img_cam", arch="PretrainedCLIP_finaltf", epoch=1,
+        params=variables["params"], opt_state=None,
+        config={"arch": {"type": "PretrainedCLIP_finaltf"}},
+    )
+    ckpt = str(tmp_path / "img_cam")
+    ds = _TinyVideoDataset()
+
+    res = vrw.stage_table6b(
+        None, None, ckpt, model_type="test-tiny", limit=8,
+        table_row="video+comments-8", dataset=ds,
+    )
+    assert res["ok"] and res["warm_start"] == "surgery"
+    assert 0.0 <= res["vtr_r10"] <= 100.0 and 0.0 <= res["tvr_r10"] <= 100.0
+
+    # comments-skipped row: same surgery path, branch_override="skip"
+    res = vrw.stage_table6b(
+        None, None, ckpt, model_type="test-tiny", limit=8,
+        table_row="video-8", dataset=ds,
+    )
+    assert res["ok"] and res["warm_start"] == "surgery"
+
+    # mean-pooling baseline: image arch, NO surgery, frames mean-pooled by
+    # the 5-D dispatch
+    res = vrw.stage_table6b(
+        None, None, ckpt, model_type="test-tiny", limit=8,
+        table_row="mean-pooling-8", dataset=ds,
+    )
+    assert res["ok"] and res["warm_start"] == "direct"
+
+
+def test_stage_table6b_validates_row_before_eval(tmp_path):
+    with pytest.raises(ValueError, match="VTC_TABLE6B_ROW"):
+        vrw.stage_table6b(
+            tmp_path / "missing.csv", tmp_path, tmp_path / "missing.ckpt",
+            table_row="video+cmts-8",
+        )
+
+
 def test_stage_table6a_validates_row_before_eval(tmp_path):
     """A VTC_TABLE6A_ROW typo must fail before the multi-minute eval (and
     name the valid rows), not at the final lookup."""

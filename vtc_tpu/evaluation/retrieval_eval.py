@@ -142,6 +142,7 @@ def retrieval_evaluation(
     dataset=None,
     data_roots: Optional[dict] = None,
     image_size: int = 224,
+    nframes: int = NFRAMES,
 ):
     """Evaluate a model on a transfer dataset; returns the recall DataFrame."""
     from .. import data as module_data
@@ -200,7 +201,7 @@ def retrieval_evaluation(
             chunks = _ensure_preprocessed(np.asarray(frames)[0:1], image_size)
             assert not first_chunk_only
         else:  # every exported retrieval model accepts chunked video
-            chunks = chunk_frames(np.asarray(frames), frame_stride)
+            chunks = chunk_frames(np.asarray(frames), frame_stride, nframes)
             if first_chunk_only:
                 chunks = chunks[0:1]
             chunks = _ensure_preprocessed(chunks, image_size)
