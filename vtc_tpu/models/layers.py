@@ -419,8 +419,25 @@ class ResidualAttentionBlock(nn.Module):
             ln2 = LayerNorm32(name="ln_2")(x, return_params=True)
             x = x + mlp(x, ln_params=ln2)
         else:
-            x = x + attn(LayerNorm32(name="ln_1")(x), mask)
-            x = x + mlp(LayerNorm32(name="ln_2")(x))
+            from ..ops.pallas_addln import (
+                add_layernorm,
+                addln_enabled,
+                supported as addln_supported,
+            )
+
+            if addln_enabled() and addln_supported(self.width):
+                # receipt opt-in (VTC_PALLAS_ADDLN=1), measured a 10.8%
+                # LOSS and parked — XLA already fuses the residual add,
+                # see PERFORMANCE.md "Round 4". Param tree unchanged.
+                attn_out = attn(LayerNorm32(name="ln_1")(x), mask)
+                scale, bias = LayerNorm32(name="ln_2")(
+                    x, return_params=True
+                )
+                x, h2 = add_layernorm(x, attn_out, scale, bias)
+                x = x + mlp(h2)
+            else:
+                x = x + attn(LayerNorm32(name="ln_1")(x), mask)
+                x = x + mlp(LayerNorm32(name="ln_2")(x))
         return x
 
 
