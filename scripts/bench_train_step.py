@@ -33,16 +33,22 @@ def main(batch=128, ntoks=16, arch="PretrainedCLIP_finaltf", frames=0,
     module, variables = create_model(
         arch, model_type="ViT-B/32", seed=0, dtype=jnp.bfloat16, **kwargs
     )
+    opt_args = {"lr": 1e-5, "amsgrad": True}
+    if os.environ.get("VTC_MOMENTS_DTYPE"):  # A/B: bf16 moment storage
+        opt_args["moments_dtype"] = os.environ["VTC_MOMENTS_DTYPE"]
     tx = build_optimizer(
         variables["params"],
-        {"type": "Adam", "args": {"lr": 1e-5, "amsgrad": True}},
+        {"type": "Adam", "args": opt_args},
         {"type": "StepLR", "args": {"step_size": 10, "gamma": 0.1}},
         steps_per_epoch=100,
         adapter_lr=1e-4,
         time_lr=1e-5,
     )
     donate = os.environ.get("BENCH_DONATE", "1") == "1"
-    train_step, _ = make_step_fns(module, clip_loss, tx, donate=donate)
+    accum = int(os.environ.get("VTC_ACCUM", "1"))  # GradCache accumulation
+    train_step, _ = make_step_fns(
+        module, clip_loss, tx, donate=donate, accum_steps=accum
+    )
 
     state = TrainState(
         step=jnp.zeros((), jnp.int32),

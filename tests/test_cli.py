@@ -144,6 +144,30 @@ def test_train_cli_stack_parallel(corpus, axis_key):
     assert log[axis_key] == 2
 
 
+@pytest.mark.slow
+def test_train_cli_accum_steps(corpus):
+    """trainer.accum_steps is a real training configuration: the same
+    train.py main() builds the accumulating (GradCache-semantics) step and
+    trains/checkpoints end to end."""
+    tmp_path, csv, root = corpus
+    cfg = _config(tmp_path, csv, root)
+    cfg["name"] = "cli_accum"
+    cfg["trainer"]["accum_steps"] = 2
+    cfg_path = tmp_path / "cfg_accum.jsonc"
+    cfg_path.write_text(json.dumps(cfg))
+
+    import train as train_cli
+    from vtc_tpu.config import ConfigParser
+    from vtc_tpu.utils import read_json
+
+    config = ConfigParser(read_json(cfg_path))
+    train_cli.main(config)
+    run_dir = config.save_dir
+    assert (run_dir / "checkpoint-epoch1").exists()
+    log = json.loads((run_dir / "config.json").read_text())
+    assert log["trainer"]["accum_steps"] == 2
+
+
 def test_train_cli_rejects_conflicting_mesh_axes(corpus):
     tmp_path, csv, root = corpus
     cfg = _config(tmp_path, csv, root)

@@ -185,6 +185,56 @@ def test_frozen_predicate_rejects_unknown_spec():
         frozen_predicate(True)
 
 
+def test_bf16_moments_storage():
+    """`optimizer.args.moments_dtype: "bfloat16"` (fused-only, beyond
+    reference): moments STORED bf16, math fp32 — the trajectory must stay
+    close to the fp32-moment run (pure storage rounding), state dtypes must
+    actually be bf16 (the memory contract), frozen placeholders intact, and
+    the optax chain must reject the knob instead of ignoring it."""
+    rng = np.random.default_rng(5)
+    w = lambda i: rng.normal(size=(8, 4)).astype(np.float32)  # noqa: E731
+    params = _group_tree(w)
+    cfg32 = {"type": "Adam", "args": {"lr": 1e-2, "weight_decay": 1e-3,
+                                      "amsgrad": True}}
+    cfg16 = {"type": "Adam", "args": {**cfg32["args"],
+                                      "moments_dtype": "bfloat16"}}
+    kw = dict(fc_lr=5e-3, adapter_lr=3e-2, branch_to_freeze="visual")
+    tx32 = build_optimizer(params, cfg32, fused=True, **kw)
+    tx16 = build_optimizer(params, cfg16, fused=True, **kw)
+
+    s32, s16 = tx32.init(params), tx16.init(params)
+    # memory contract: non-frozen moment leaves stored bf16
+    assert s16.mu["cam"]["final_linear"]["kernel"].dtype == jnp.bfloat16
+    assert s16.nu_max["cam"]["final_linear"]["kernel"].dtype == jnp.bfloat16
+    assert s16.mu["clip"]["visual"]["conv1"].dtype == jnp.float32  # frozen
+
+    p32 = p16 = params
+    for s in range(10):
+        g = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(
+                np.random.default_rng(200 + s).normal(size=x.shape),
+                jnp.float32,
+            ),
+            params,
+        )
+        p32, s32 = tx32.apply(g, s32, p32)
+        p16, s16 = tx16.apply(g, s16, p16)
+    for (k32, l32), (k16, l16) in zip(
+        jax.tree_util.tree_leaves_with_path(p32),
+        jax.tree_util.tree_leaves_with_path(p16),
+    ):
+        assert k32 == k16
+        # bf16 has ~3 decimal digits; after 10 unit-scale Adam steps the
+        # param drift stays ~1e-2 relative to the ~0.1 total update
+        np.testing.assert_allclose(
+            np.asarray(l16), np.asarray(l32), atol=5e-3, err_msg=str(k32)
+        )
+    assert s16.mu["cam"]["final_linear"]["kernel"].dtype == jnp.bfloat16  # survives updates
+
+    with pytest.raises(ValueError, match="moments_dtype"):
+        build_optimizer(params, cfg16, fused=False, **kw)
+
+
 def test_batchnorm_scale_is_decay_group():
     """Reference nodecay matches bias/.ln/embedding only — BatchNorm gammas
     ('bn.weight' upstream) take weight decay; LayerNorm scales do not."""

@@ -260,6 +260,89 @@ def test_loss_decreases_with_training(tmp_path):
     assert np.mean(losses[-4:]) < np.mean(losses[:4]) - 0.05
 
 
+def test_accum_steps_exact_large_batch():
+    """`trainer.accum_steps` (beyond reference): the scanned/rematerialized
+    accumulation step must reproduce the UNaccumulated step exactly on a
+    deterministic model — same loss AND same updated params — because the
+    InfoNCE is computed over the FULL batch's similarity matrix (GradCache
+    semantics), not averaged over per-microbatch losses. A naive
+    grad-averaging implementation fails this test (different negatives)."""
+    from vtc_tpu.training.trainer import TrainState, make_step_fns
+
+    module, variables = create_model(
+        "PretrainedCLIP_finaltf", model_type=TINY, freeze="all",
+        random_skip_adapter=False, seed=0,
+    )
+    tx = build_optimizer(
+        variables["params"], {"type": "Adam", "args": {"lr": 1e-2}},
+        None, steps_per_epoch=1, branch_to_freeze="all",
+    )
+    plain, _ = make_step_fns(module, clip_loss, tx, donate=False)
+    accum, _ = make_step_fns(
+        module, clip_loss, tx, donate=False, accum_steps=4
+    )
+
+    rng = np.random.default_rng(3)
+    batch = 8
+    vis = jnp.asarray(rng.normal(size=(batch, 3, 32, 32)).astype(np.float32))
+    title = jnp.asarray(rng.integers(1, 100, (batch, 77)).astype(np.int32))
+    comments = jnp.asarray(
+        rng.integers(1, 100, (batch, 3, 77)).astype(np.int32)
+    )
+
+    def fresh_state():
+        return TrainState(
+            step=jnp.zeros((), jnp.int32), params=variables["params"],
+            opt_state=tx.init(variables["params"]),
+            batch_stats=variables.get("batch_stats", {}),
+        )
+
+    key = jax.random.PRNGKey(0)
+    s_p, loss_p, out_p = plain(fresh_state(), (vis, title, comments), {}, key)
+    s_a, loss_a, out_a = accum(fresh_state(), (vis, title, comments), {}, key)
+
+    np.testing.assert_allclose(float(loss_a), float(loss_p), rtol=1e-5)
+    # full-batch sim matrix reconstructed identically
+    np.testing.assert_allclose(
+        np.asarray(out_a[2]), np.asarray(out_p[2]), atol=1e-4
+    )
+    for (kp, lp), (ka, la) in zip(
+        jax.tree_util.tree_leaves_with_path(s_p.params),
+        jax.tree_util.tree_leaves_with_path(s_a.params),
+    ):
+        assert kp == ka
+        np.testing.assert_allclose(
+            np.asarray(la), np.asarray(lp), atol=1e-5, err_msg=str(kp)
+        )
+
+
+def test_accum_steps_validates_divisibility():
+    from vtc_tpu.training.trainer import TrainState, make_step_fns
+
+    module, variables = create_model(
+        "PretrainedCLIP_finaltf", model_type=TINY, freeze="all",
+        random_skip_adapter=False, seed=0,
+    )
+    tx = build_optimizer(
+        variables["params"], {"type": "Adam", "args": {"lr": 1e-2}},
+        None, steps_per_epoch=1, branch_to_freeze="all",
+    )
+    accum, _ = make_step_fns(
+        module, clip_loss, tx, donate=False, accum_steps=3
+    )
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=variables["params"],
+        opt_state=tx.init(variables["params"]),
+        batch_stats=variables.get("batch_stats", {}),
+    )
+    rng = np.random.default_rng(0)
+    vis = jnp.asarray(rng.normal(size=(8, 3, 32, 32)).astype(np.float32))
+    title = jnp.asarray(rng.integers(1, 100, (8, 77)).astype(np.int32))
+    comments = jnp.asarray(rng.integers(1, 100, (8, 3, 77)).astype(np.int32))
+    with pytest.raises(ValueError, match="accum_steps"):
+        accum(state, (vis, title, comments), {}, jax.random.PRNGKey(0))
+
+
 @pytest.mark.slow
 def test_warm_start_image_to_video(tmp_path):
     """Image CAM checkpoint -> TimeSformer video model: missing keys must be
@@ -312,6 +395,37 @@ def test_checkpoint_roundtrip_orbax(tmp_path):
         np.asarray(restored["params"]["clip"]["visual"]["proj"]),
         np.asarray(params["clip"]["visual"]["proj"]),
     )
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    """`trainer.async_checkpoint` (beyond reference): the save returns after
+    the device→host copy and commits in the background; a subsequent load —
+    even an immediate in-process one — must see the full committed payload
+    (load_checkpoint waits on pending async saves)."""
+    from vtc_tpu.training.checkpoints import wait_for_checkpoints
+
+    _, variables = create_model("PretrainedCLIP", model_type=TINY, seed=4)
+    params = variables["params"]
+    path = save_checkpoint(
+        tmp_path, "checkpoint-epoch1", arch="PretrainedCLIP", epoch=1,
+        params=params, opt_state=None, monitor_best=0.25,
+        config={"name": "x"}, async_save=True,
+    )
+    restored = load_checkpoint(path)  # waits internally
+    assert int(restored["epoch"]) == 1
+    assert float(restored["monitor_best"]) == 0.25
+    np.testing.assert_array_equal(
+        np.asarray(restored["params"]["clip"]["visual"]["proj"]),
+        np.asarray(params["clip"]["visual"]["proj"]),
+    )
+    # back-to-back saves serialize (no pending-save error)
+    save_checkpoint(
+        tmp_path, "model_best", arch="PretrainedCLIP", epoch=1,
+        params=params, opt_state=None, monitor_best=0.25,
+        config={"name": "x"}, async_save=True,
+    )
+    wait_for_checkpoints()
+    assert (tmp_path / "model_best").exists()
 
 
 def test_import_reference_torch_checkpoint(tmp_path):

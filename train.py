@@ -201,6 +201,9 @@ if __name__ == "__main__":
         CustomArgs(["--pp"], type=int, target="pp"),
         CustomArgs(["--sp"], type=int, target="sp"),
         CustomArgs(["--n_micro"], type=int, target="n_micro"),
+        CustomArgs(["--accum_steps"], type=int, target="trainer;accum_steps"),
+        CustomArgs(["--async_checkpoint"], type=int,
+                   target="trainer;async_checkpoint"),
         CustomArgs(["--moe_aux_loss_weight"], type=float,
                    target="moe_aux_loss_weight"),
         CustomArgs(["--b", "--branch_to_adapt"], type=str, target="arch;args;branch_to_adapt"),

@@ -52,6 +52,25 @@ def _unflatten(flat):
     return tree
 
 
+# one process-wide async checkpointer: Orbax serializes saves per
+# checkpointer, and a fresh one per save would leak its writer threads
+_ASYNC_CKPTR: Optional[ocp.AsyncCheckpointer] = None
+
+
+def _async_checkpointer() -> ocp.AsyncCheckpointer:
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def wait_for_checkpoints() -> None:
+    """Block until every async save has committed (call before reading a
+    just-written checkpoint and at the end of training)."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+
+
 def save_checkpoint(
     ckpt_dir: Path,
     name: str,
@@ -63,25 +82,39 @@ def save_checkpoint(
     batch_stats=None,
     monitor_best=None,
     config=None,
+    async_save: bool = False,
 ) -> Path:
+    """``async_save=True`` (config ``trainer.async_checkpoint``) returns as
+    soon as the device→host copy is done and commits the directory in a
+    background thread, overlapping the (low-priority) disk write with the
+    next epoch's steps. Saves are serialized per process; the sidecar is
+    written immediately (host-only data)."""
     import json
 
     path = Path(ckpt_dir) / name
     payload = {
         "epoch": epoch,
-        "params": jax.tree_util.tree_map(np.asarray, params),
+        "params": params,
         "monitor_best": np.asarray(
             monitor_best if monitor_best is not None else 0.0, dtype=np.float64
         ),
     }
     if batch_stats:
-        payload["batch_stats"] = jax.tree_util.tree_map(np.asarray, batch_stats)
+        payload["batch_stats"] = batch_stats
     if opt_state is not None:
-        payload["opt_state"] = jax.tree_util.tree_map(np.asarray, opt_state)
+        payload["opt_state"] = opt_state
+    # ONE host transfer for the whole tree — per-leaf np.asarray pays a
+    # device round-trip per parameter (CLAUDE.md "per-leaf host transfers")
+    payload = jax.device_get(payload)
 
-    ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path.absolute(), payload, force=True)
-    ckptr.wait_until_finished()
+    if async_save:
+        ckptr = _async_checkpointer()
+        ckptr.wait_until_finished()  # serialize with any pending save
+        ckptr.save(path.absolute(), payload, force=True)
+    else:
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path.absolute(), payload, force=True)
+        ckptr.wait_until_finished()
 
     # strings (arch name, config) go in a sidecar the orbax dir doesn't own
     meta = {"arch": arch}
@@ -113,6 +146,7 @@ def load_checkpoint(path) -> dict:
         return out
     import json
 
+    wait_for_checkpoints()  # the path may still be committing asynchronously
     ckptr = ocp.StandardCheckpointer()
     restored = dict(ckptr.restore(path.absolute()))
     meta_file = path.parent / f"{path.name}.meta.json"

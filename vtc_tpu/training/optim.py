@@ -289,6 +289,13 @@ class FusedOptimizer:
         self._wd = float(args.get("weight_decay", 0.0) or 0.0)
         self._amsgrad = bool(args.get("amsgrad", False))
         self._decoupled = opt_type == "AdamW"
+        # moment STORAGE dtype (config `optimizer.args.moments_dtype`,
+        # default fp32 = torch parity). "bfloat16" halves the optimizer
+        # state's HBM footprint and its read+write traffic in the update
+        # pass; all arithmetic stays fp32 (load-cast-up, store-cast-down),
+        # so the deviation is pure storage rounding of mu/nu/nu_max.
+        # Beyond-reference memory/perf knob — measured in PERFORMANCE.md.
+        self._mdt = jnp.dtype(args.get("moments_dtype") or jnp.float32)
 
     # -- state ------------------------------------------------------------
     def init(self, params):
@@ -297,7 +304,7 @@ class FusedOptimizer:
                 # scalar placeholder: keeps the tree structure aligned with
                 # params at no memory cost (0-size arrays break Orbax saves)
                 return jnp.zeros((), jnp.float32)
-            return jnp.zeros_like(p, dtype=jnp.float32)
+            return jnp.zeros_like(p, dtype=self._mdt)
 
         mk = lambda: jax.tree_util.tree_map(  # noqa: E731
             moments, self._labels, params
@@ -343,10 +350,11 @@ class FusedOptimizer:
         g = g.astype(jnp.float32)
         if wd and not self._decoupled:
             g = g + wd * p.astype(jnp.float32)
-        m = b1 * m + (1 - b1) * g
-        v = b2 * v + (1 - b2) * jnp.square(g)
+        # moments may be STORED narrower (moments_dtype); math is fp32
+        m = b1 * m.astype(jnp.float32) + (1 - b1) * g
+        v = b2 * v.astype(jnp.float32) + (1 - b2) * jnp.square(g)
         if self._amsgrad:
-            vm = jnp.maximum(vm, v)
+            vm = jnp.maximum(vm.astype(jnp.float32), v)
             denom = jnp.sqrt(vm) / jnp.sqrt(bc2) + eps
         else:
             denom = jnp.sqrt(v) / jnp.sqrt(bc2) + eps
@@ -355,7 +363,8 @@ class FusedOptimizer:
             upd = upd + wd * p.astype(jnp.float32)
         delta = (-lr * upd).astype(p.dtype)
         out = p + delta if return_new_params else delta
-        return out, m, v, vm
+        mdt = self._mdt
+        return out, m.astype(mdt), v.astype(mdt), vm.astype(mdt)
 
     # -- interfaces --------------------------------------------------------
     def update(self, grads, state, params=None):
@@ -408,6 +417,14 @@ def build_optimizer(
             for group, lr in group_lr.items()
         }
         return FusedOptimizer(labels, schedules, args, opt_type)
+
+    if args.get("moments_dtype"):
+        # the optax chain always keeps fp32 moments; silently ignoring a
+        # requested memory layout would be a footgun
+        raise ValueError(
+            "moments_dtype is only supported by the fused optimizer "
+            "(build_optimizer(fused=True), the default)"
+        )
 
     transforms: Dict[str, optax.GradientTransformation] = {
         "frozen": optax.set_to_zero()

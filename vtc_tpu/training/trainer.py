@@ -41,6 +41,7 @@ from .checkpoints import (
     graft_params,
     load_checkpoint,
     save_checkpoint,
+    wait_for_checkpoints,
 )
 from .metrics import LossMetric, MetricTracker
 
@@ -66,13 +67,42 @@ def _flatten_data(data):
     return tuple(flat)
 
 
+def _logit_scale(params):
+    """The contrastive temperature leaf (``retrieval.py:_sim`` computes
+    ``exp(logit_scale) * v @ t.T``; the CLIP-family models keep it on the
+    clip tower). Accumulation reconstructs the full-batch similarity from
+    the concatenated features, so it needs this leaf explicitly."""
+    node = params.get("clip", params)
+    if isinstance(node, dict) and "logit_scale" in node:
+        return node["logit_scale"]
+    if "logit_scale" in params:
+        return params["logit_scale"]
+    raise ValueError(
+        "accum_steps > 1 needs a contrastive model with a logit_scale "
+        "param (the CLIP retrieval families); this model has none"
+    )
+
+
 def make_step_fns(module, criterion, tx, donate: bool = True,
-                  aux_loss_weight: float = 0.01):
+                  aux_loss_weight: float = 0.01, accum_steps: int = 1):
     """Build (train_step, eval_step) for a model module.
 
     ``aux_loss_weight`` scales any auxiliary losses modules sow into the
     "losses" collection (currently the MoE adapter's load-balance loss,
-    ``parallel/expert.py`` — the Switch-standard 0.01 default)."""
+    ``parallel/expert.py`` — the Switch-standard 0.01 default).
+
+    ``accum_steps > 1`` enables EXACT large-batch contrastive gradient
+    accumulation (beyond reference; config ``trainer.accum_steps`` /
+    ``train.py --accum_steps``): the batch is scanned in ``accum_steps``
+    microbatches with the encode wrapped in ``jax.checkpoint``, the
+    per-microbatch features are concatenated, and the symmetric InfoNCE is
+    computed over the FULL batch's similarity matrix — so the in-batch
+    negatives (and therefore loss and gradients) are those of the large
+    batch, not of the microbatches. Activation memory is one microbatch's;
+    the backward re-encodes each microbatch (GradCache's two-pass schedule,
+    expressed as rematerialization instead of hand-rolled VJP plumbing).
+    Naive per-microbatch loss averaging would silently shrink the negative
+    set — the thing large batches are FOR in contrastive training."""
     import inspect
 
     call_params = inspect.signature(type(module).__call__).parameters
@@ -146,6 +176,84 @@ def make_step_fns(module, criterion, tx, donate: bool = True,
         )
         return new_state, loss, out
 
+    def accum_train_step(state: TrainState, data, meta, rng):
+        k = int(accum_steps)
+        if any(d.shape[0] % k for d in data):
+            raise ValueError(
+                f"accum_steps={k} must divide the batch "
+                f"({[d.shape[0] for d in data]})"
+            )
+
+        def mb_rngs(i):
+            # per-sample streams (adapter_skip/comment_mask draw [b,·]
+            # uniforms, cam.py:180,206) — fold by microbatch index so draws
+            # are independent across microbatches, not repeated
+            base = {
+                "adapter_skip": jax.random.fold_in(rng, 1),
+                "comment_mask": jax.random.fold_in(rng, 2),
+                "dropout": jax.random.fold_in(rng, 3),
+            }
+            return {n: jax.random.fold_in(r, i) for n, r in base.items()}
+
+        def loss_fn(params):
+            def encode_mb(bs, idx_and_data):
+                i, mb = idx_and_data
+                out, new_vars = _apply(params, bs, mb, True, mb_rngs(i))
+                aux = jax.tree_util.tree_leaves(new_vars.get("losses", {}))
+                aux = (
+                    sum(jnp.mean(a) for a in aux)
+                    if aux
+                    else jnp.zeros((), jnp.float32)
+                )
+                new_bs = new_vars.get("batch_stats", bs)
+                return new_bs, (out[0], out[1], aux)
+
+            # rematerialize each microbatch's encode: forward stores only
+            # the features; backward re-encodes one microbatch at a time —
+            # GradCache's memory profile out of jax.checkpoint + lax.scan
+            encode_mb = jax.checkpoint(encode_mb)
+            mbs = jax.tree_util.tree_map(
+                lambda x: x.reshape((k, x.shape[0] // k) + x.shape[1:]),
+                tuple(data),
+            )
+            final_bs, (vs, ts, auxs) = jax.lax.scan(
+                encode_mb, state.batch_stats, (jnp.arange(k), mbs)
+            )
+            feats_vis = vs.reshape((-1,) + vs.shape[2:])
+            feats_text = ts.reshape((-1,) + ts.shape[2:])
+            # the FULL batch's similarity matrix — the whole point: the
+            # InfoNCE negatives are the large batch's, not a microbatch's
+            # (retrieval.py:_sim; logit_scale lives under the clip tower)
+            scale = jnp.exp(_logit_scale(params))
+            sim = scale * jnp.matmul(
+                feats_vis, feats_text.T, preferred_element_type=jnp.float32
+            )
+            out = (feats_vis, feats_text, sim)
+            loss = criterion(out, meta) + aux_loss_weight * jnp.mean(auxs)
+            return loss, (out, {"batch_stats": final_bs})
+
+        (loss, (out, new_vars)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        if hasattr(tx, "apply"):
+            new_params, new_opt_state = tx.apply(
+                grads, state.opt_state, state.params
+            )
+        else:
+            updates, new_opt_state = tx.update(
+                grads, state.opt_state, state.params
+            )
+            new_params = jax.tree_util.tree_map(
+                lambda p, u: p + u.astype(p.dtype), state.params, updates
+            )
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            opt_state=new_opt_state,
+            batch_stats=new_vars.get("batch_stats", state.batch_stats),
+        )
+        return new_state, loss, out
+
     def eval_step(state: TrainState, data, meta, branch_override=None):
         out, _ = _apply(
             state.params, state.batch_stats, data, False, None, branch_override
@@ -153,9 +261,10 @@ def make_step_fns(module, criterion, tx, donate: bool = True,
         loss = criterion(out, meta)
         return loss, out
 
+    step = train_step if accum_steps <= 1 else accum_train_step
     donate_args = {"donate_argnums": (0,)} if donate else {}
     return (
-        jax.jit(train_step, **donate_args),
+        jax.jit(step, **donate_args),
         jax.jit(eval_step, static_argnames=("branch_override",)),
     )
 
@@ -194,6 +303,8 @@ class Trainer:
         cfg_trainer = config["trainer"]
         self.epochs = cfg_trainer["epochs"]
         self.save_period = cfg_trainer.get("save_period", 1)
+        # overlap the checkpoint disk write with the next epoch's steps
+        self.async_checkpoint = bool(cfg_trainer.get("async_checkpoint", False))
         self.monitor = cfg_trainer.get("monitor", "off")
         self.checkpoint_dir = config.save_dir
         self.logger = (
@@ -242,8 +353,9 @@ class Trainer:
         # config-surfaced MoE load-balance weight (Switch-standard default;
         # only consumed when the model sows aux losses)
         aux_w = float(config.get("moe_aux_loss_weight", 0.01))
+        accum = int(cfg_trainer.get("accum_steps", 1))
         self.train_step, self.eval_step = make_step_fns(
-            module, criterion, tx, aux_loss_weight=aux_w
+            module, criterion, tx, aux_loss_weight=aux_w, accum_steps=accum
         )
 
         params = variables["params"]
@@ -492,6 +604,7 @@ class Trainer:
 
             if epoch % self.save_period == 0:
                 self._save_checkpoint(epoch, save_best=best)
+        wait_for_checkpoints()  # commit any in-flight async save
         return log
 
     # ------------------------------------------------------------------ #
@@ -508,6 +621,7 @@ class Trainer:
             batch_stats=self.state.batch_stats,
             monitor_best=self.mnt_best,
             config=cfg,
+            async_save=self.async_checkpoint,
         )
         self.logger.info("Saving checkpoint: %s ...", path)
         if save_best:
@@ -521,6 +635,7 @@ class Trainer:
                 batch_stats=self.state.batch_stats,
                 monitor_best=self.mnt_best,
                 config=cfg,
+                async_save=self.async_checkpoint,
             )
             self.logger.info("Saving current best: %s ...", best)
 
