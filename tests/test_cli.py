@@ -168,6 +168,36 @@ def test_train_cli_accum_steps(corpus):
     assert log["trainer"]["accum_steps"] == 2
 
 
+@pytest.mark.slow
+def test_train_cli_multihost_plumbing(corpus, monkeypatch):
+    """--multihost initializes the JAX distributed runtime before device use
+    and turns on per-process loader sharding; with one process the run is
+    the single-host run (sharding is a no-op slice) and must train and
+    checkpoint end to end."""
+    import jax
+
+    init_calls = []
+    monkeypatch.setattr(
+        jax.distributed, "initialize", lambda *a, **k: init_calls.append(1)
+    )
+
+    tmp_path, csv, root = corpus
+    cfg = _config(tmp_path, csv, root)
+    cfg["name"] = "cli_multihost"
+    cfg["multihost"] = 1
+    cfg_path = tmp_path / "cfg_mh.jsonc"
+    cfg_path.write_text(json.dumps(cfg))
+
+    import train as train_cli
+    from vtc_tpu.config import ConfigParser
+    from vtc_tpu.utils import read_json
+
+    config = ConfigParser(read_json(cfg_path))
+    train_cli.main(config)
+    assert init_calls == [1]
+    assert (config.save_dir / "checkpoint-epoch1").exists()
+
+
 def test_train_cli_rejects_conflicting_mesh_axes(corpus):
     tmp_path, csv, root = corpus
     cfg = _config(tmp_path, csv, root)

@@ -167,3 +167,37 @@ def test_grain_loader_len_counts_per_process_batches(monkeypatch):
     )
     assert len(dl) == 4  # 64/4 hosts = 16 records -> 4 batches
     assert len(list(dl)) == 4
+
+
+def test_shard_batch_routes_multihost_through_process_local(monkeypatch):
+    """`parallel.mesh.shard_batch` must assemble the global array from the
+    process-LOCAL slice on multi-host (jax.make_array_from_process_local_data)
+    — a plain device_put against the global sharding would treat each host's
+    slice as the whole batch. Single-host keeps the device_put fast path."""
+    import jax
+    import jax.numpy as jnp
+
+    from vtc_tpu.parallel.mesh import create_mesh, shard_batch
+
+    mesh = create_mesh(2, 1, devices=jax.devices()[:2])
+    batch = (np.arange(8, dtype=np.float32).reshape(4, 2), {"n": 3})
+
+    # single-host: device_put path, correctly sharded global array
+    out = shard_batch(batch, mesh)
+    assert out[0].shape == (4, 2)
+    assert out[1]["n"] == 3
+    np.testing.assert_array_equal(np.asarray(out[0]), batch[0])
+
+    calls = []
+
+    def fake_from_local(sharding, x):
+        calls.append(tuple(x.shape))
+        return jax.device_put(jnp.asarray(x), sharding)  # stand-in
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(
+        jax, "make_array_from_process_local_data", fake_from_local
+    )
+    out2 = shard_batch(batch, mesh)
+    assert calls == [(4, 2)]  # every array leaf routed; scalars untouched
+    assert out2[1]["n"] == 3

@@ -55,6 +55,17 @@ def _make_probe(config):
 
 
 def main(config: ConfigParser):
+    if config.get("multihost"):
+        # multi-controller pod run (one process per host): initialize the
+        # JAX distributed runtime BEFORE any device use so jax.devices()
+        # sees the whole slice. No-args form auto-detects coordinator and
+        # process topology on TPU pods; loaders shard the input per host
+        # (shard_by_process) and parallel.mesh.shard_batch assembles global
+        # batches from the per-host slices.
+        import jax
+
+        jax.distributed.initialize()
+
     seed_value = int(config.get("random_seed_value", 1023))
     os.environ["PYTHONHASHSEED"] = str(seed_value)
     random.seed(seed_value)
@@ -70,6 +81,10 @@ def main(config: ConfigParser):
         from vtc_tpu.data.loader import GrainDataLoader
 
         loader_cls = GrainDataLoader
+    # on a pod each process loads its disjoint slice of every batch
+    # (tested: test_loader_sharding.py); single-host this is a no-op.
+    # batch_size is PER HOST under --multihost (global = bs x n_processes).
+    shard_hosts = bool(config.get("multihost"))
     data_loader = loader_cls(
         dataset,
         batch_size=config["batch_size"],
@@ -77,6 +92,7 @@ def main(config: ConfigParser):
         shuffle=True,
         drop_last=True,
         seed=seed_value,
+        shard_by_process=shard_hosts,
     )
     valid_data_loader = loader_cls(
         valid_dataset,
@@ -84,6 +100,7 @@ def main(config: ConfigParser):
         num_workers=config.get("num_workers", 4),
         shuffle=False,
         drop_last=True,
+        shard_by_process=shard_hosts,
     )
 
     arch_cfg = config["arch"]
@@ -204,6 +221,7 @@ if __name__ == "__main__":
         CustomArgs(["--accum_steps"], type=int, target="trainer;accum_steps"),
         CustomArgs(["--async_checkpoint"], type=int,
                    target="trainer;async_checkpoint"),
+        CustomArgs(["--multihost"], type=int, target="multihost"),
         CustomArgs(["--moe_aux_loss_weight"], type=float,
                    target="moe_aux_loss_weight"),
         CustomArgs(["--b", "--branch_to_adapt"], type=str, target="arch;args;branch_to_adapt"),

@@ -194,13 +194,28 @@ def replicated(mesh: Mesh):
 
 
 def shard_batch(batch, mesh: Mesh):
-    """device_put a host batch with the leading axis over the data axis.
-    The leading axis must divide by the data-axis size — training uses
-    drop_last so sizes always divide; eval callers pad first (e.g.
-    scripts/get_clip_vit_embeddings.py)."""
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, NamedSharding(mesh, P(DATA_AXIS)))
-        if hasattr(x, "shape") and x.ndim >= 1
-        else x,
-        batch,
-    )
+    """Put a host batch on the mesh with the leading axis over the data
+    axis. The leading axis must divide by the data-axis size — training
+    uses drop_last so sizes always divide; eval callers pad first (e.g.
+    scripts/get_clip_vit_embeddings.py).
+
+    Multi-host (``jax.process_count() > 1``): the loaders feed each process
+    its own disjoint slice of the global batch (``data/loader.py``
+    per-host sharding), so the local array is one PROCESS-SHARD of the
+    global array — ``jax.make_array_from_process_local_data`` assembles
+    the global jax.Array from the per-host pieces. A plain ``device_put``
+    against the global sharding would treat the local slice as the whole
+    batch (wrong global shape / silent replication)."""
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    multihost = jax.process_count() > 1
+
+    def put(x):
+        if not (hasattr(x, "shape") and getattr(x, "ndim", 0) >= 1):
+            return x
+        if multihost:
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            )
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(put, batch)
