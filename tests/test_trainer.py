@@ -316,6 +316,38 @@ def test_accum_steps_exact_large_batch():
         )
 
 
+def test_accum_steps_refuses_batchnorm_models():
+    """Per-microbatch BatchNorm statistics would silently change training
+    semantics — the accumulating step must raise, not deviate."""
+    from vtc_tpu.training.trainer import TrainState, make_step_fns
+
+    module, variables = create_model(
+        "PretrainedCLIP_finaltf", model_type=TINY, freeze="all",
+        residual_activation="bn", random_skip_adapter=False, seed=0,
+    )
+    assert "batch_stats" in variables
+    tx = build_optimizer(
+        variables["params"], {"type": "Adam", "args": {"lr": 1e-2}},
+        None, 1, branch_to_freeze="all",
+    )
+    accum, _ = make_step_fns(
+        module, clip_loss, tx, donate=False, accum_steps=2
+    )
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=variables["params"],
+        opt_state=tx.init(variables["params"]),
+        batch_stats=variables["batch_stats"],
+    )
+    rng = np.random.default_rng(0)
+    data = (
+        jnp.asarray(rng.normal(size=(8, 32)).astype(np.float32)),
+        jnp.asarray(tk.tokenize([f"t {i}" for i in range(8)])),
+        jnp.asarray(np.stack([tk.tokenize(["c", ""]) for _ in range(8)])),
+    )
+    with pytest.raises(ValueError, match="BatchNorm"):
+        accum(state, data, {}, jax.random.PRNGKey(0))
+
+
 def test_accum_steps_validates_divisibility():
     from vtc_tpu.training.trainer import TrainState, make_step_fns
 

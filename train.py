@@ -64,7 +64,21 @@ def main(config: ConfigParser):
         # batches from the per-host slices.
         import jax
 
-        jax.distributed.initialize()
+        try:
+            jax.distributed.initialize()
+        except RuntimeError:
+            # jax.distributed.initialize() refuses once backends exist —
+            # and a sitecustomize (or an importing caller) may have
+            # initialized them before main() ran. Reset the backend caches
+            # (BOTH of them — CLAUDE.md "Resetting the backend") and retry
+            # so --multihost works regardless of import-time side effects.
+            import jax._src.xla_bridge as xb
+
+            if not getattr(xb, "_backends", None):
+                raise
+            xb._clear_backends()
+            xb.get_backend.cache_clear()
+            jax.distributed.initialize()
 
     seed_value = int(config.get("random_seed_value", 1023))
     os.environ["PYTHONHASHSEED"] = str(seed_value)

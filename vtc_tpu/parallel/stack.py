@@ -31,7 +31,6 @@ from __future__ import annotations
 
 from typing import Optional
 
-import jax
 from jax.sharding import Mesh
 
 from .mesh import DATA_AXIS

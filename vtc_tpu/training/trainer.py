@@ -71,12 +71,11 @@ def _logit_scale(params):
     """The contrastive temperature leaf (``retrieval.py:_sim`` computes
     ``exp(logit_scale) * v @ t.T``; the CLIP-family models keep it on the
     clip tower). Accumulation reconstructs the full-batch similarity from
-    the concatenated features, so it needs this leaf explicitly."""
+    the concatenated features, so it needs this leaf explicitly. Mapping
+    (`in`/`get`) access so flax FrozenDict trees work too."""
     node = params.get("clip", params)
-    if isinstance(node, dict) and "logit_scale" in node:
+    if "logit_scale" in node:
         return node["logit_scale"]
-    if "logit_scale" in params:
-        return params["logit_scale"]
     raise ValueError(
         "accum_steps > 1 needs a contrastive model with a logit_scale "
         "param (the CLIP retrieval families); this model has none"
@@ -102,7 +101,13 @@ def make_step_fns(module, criterion, tx, donate: bool = True,
     the backward re-encodes each microbatch (GradCache's two-pass schedule,
     expressed as rematerialization instead of hand-rolled VJP plumbing).
     Naive per-microbatch loss averaging would silently shrink the negative
-    set — the thing large batches are FOR in contrastive training."""
+    set — the thing large batches are FOR in contrastive training.
+
+    Eligibility: models with BatchNorm running stats are REFUSED (per-
+    microbatch statistics would change semantics; raised at trace time).
+    MoE aux losses become the mean of per-microbatch load-balance losses —
+    the standard microbatched-Switch formulation, deliberately not the
+    full-batch balance. Per-sample PRNG streams fold per microbatch."""
     import inspect
 
     call_params = inspect.signature(type(module).__call__).parameters
@@ -182,6 +187,18 @@ def make_step_fns(module, criterion, tx, donate: bool = True,
             raise ValueError(
                 f"accum_steps={k} must divide the batch "
                 f"({[d.shape[0] for d in data]})"
+            )
+        if state.batch_stats:
+            # BatchNorm running stats under microbatching would normalize
+            # each microbatch with its own statistics and take k momentum
+            # updates per step — NOT the large-batch semantics this step
+            # advertises. Refuse rather than silently deviate (the bn/
+            # sub_mean residual-activation variants are the only archs
+            # with batch_stats).
+            raise ValueError(
+                "accum_steps > 1 is not supported for models with "
+                "BatchNorm running stats (batch_stats non-empty): "
+                "per-microbatch statistics change the training semantics"
             )
 
         def mb_rngs(i):
@@ -401,13 +418,22 @@ class Trainer:
         batches ahead (the sharded analogue of pin_memory + prefetch)."""
         from ..data.tokenizer import truncate_batch_tokens
 
+        # EOT buckets are chosen from the LOCAL batch's max EOT position —
+        # under multi-host each process sees a different slice, so the
+        # data-dependent shape would diverge across controllers (different
+        # traced programs -> crash/deadlock at the first collective). Every
+        # shape must be host-independent there: skip the truncation lever.
+        bucketing = jax.process_count() == 1
+
         def gen():
             for *data, meta in loader:
                 # EOT-bucket truncation (exactness-preserving: causal tower,
                 # EOT pooling) — the eval path's measured 2.6x text lever,
                 # applied to training too; one shared bucket per batch keeps
                 # the compile count bounded by the bucket list.
-                data = truncate_batch_tokens(_flatten_data(data))
+                data = _flatten_data(data)
+                if bucketing:
+                    data = truncate_batch_tokens(data)
                 meta_dev = {
                     k: v for k, v in meta.items() if hasattr(v, "shape")
                 }
