@@ -260,6 +260,7 @@ def test_loss_decreases_with_training(tmp_path):
     assert np.mean(losses[-4:]) < np.mean(losses[:4]) - 0.05
 
 
+@pytest.mark.slow  # two full step-fn compiles (~100 s on the 1-core CPU mesh)
 def test_accum_steps_exact_large_batch():
     """`trainer.accum_steps` (beyond reference): the scanned/rematerialized
     accumulation step must reproduce the UNaccumulated step exactly on a
