@@ -376,6 +376,91 @@ def test_accum_steps_validates_divisibility():
         accum(state, (vis, title, comments), {}, jax.random.PRNGKey(0))
 
 
+def test_fsdp_multihost_refused(tmp_path, monkeypatch):
+    """fsdp shards state across hosts' devices, so the checkpoint path's
+    bulk device_get (rank-0 write) can't see the full tree — the trainer
+    must refuse the combination at init, not crash at the epoch boundary."""
+    csv = _make_features_fixture(tmp_path)
+    config = _min_config(tmp_path)
+    config.config["fsdp"] = True
+    module, variables = create_model(
+        "PretrainedCLIP_finaltf", model_type=TINY, freeze="all", seed=0
+    )
+    ds = _FeatureCommentDataset(csv, str(tmp_path / "vis.npz"), train=True)
+    loader = DataLoader(ds, batch_size=8, drop_last=True, num_workers=0)
+    tx = build_optimizer(
+        variables["params"], config["optimizer"], config["lr_scheduler"],
+        steps_per_epoch=len(loader), branch_to_freeze="all",
+    )
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    with pytest.raises(NotImplementedError, match="fsdp"):
+        Trainer(module, variables, clip_loss, [], tx, config, loader,
+                arch_name="PretrainedCLIP_finaltf")
+
+
+def test_checkpoint_multihost_write_contract(tmp_path, monkeypatch):
+    """Multihost checkpoint contract: the orbax save is COLLECTIVE — every
+    rank must call it (orbax's primary writes, the rest barrier; a rank-0
+    `if` would deadlock the barrier) — while the plain-file meta sidecar is
+    rank-0-only (same-path writes race on a shared filesystem)."""
+    from vtc_tpu.training import checkpoints as C
+
+    saves = []
+
+    class FakeCkptr:
+        def save(self, path, payload, force=False):
+            saves.append(str(path))
+
+        def wait_until_finished(self):
+            pass
+
+    monkeypatch.setattr(C.ocp, "StandardCheckpointer", FakeCkptr)
+    params = {"w": np.zeros(2, np.float32)}
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    save_checkpoint(tmp_path, "ck", arch="A", epoch=1, params=params,
+                    opt_state=None)
+    assert len(saves) == 1  # nonzero rank still participates in the save
+    assert not (tmp_path / "ck.meta.json").exists()  # but no sidecar
+
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    save_checkpoint(tmp_path, "ck", arch="A", epoch=1, params=params,
+                    opt_state=None)
+    assert len(saves) == 2
+    assert (tmp_path / "ck.meta.json").exists()
+
+
+def test_recall_metric_gathers_global_arrays(monkeypatch):
+    """RecallAtK.update must route non-fully-addressable (multi-host
+    global) arrays through process_allgather — plain np.asarray raises on
+    them, and the local shard alone would shrink the gallery."""
+    from vtc_tpu.training import metrics as M
+
+    calls = []
+
+    class FakeGlobal:
+        is_fully_addressable = False
+
+        def __init__(self, v):
+            self.v = v
+
+    def fake_allgather(x, tiled=False):
+        assert tiled
+        calls.append(x)
+        return x.v
+
+    from jax.experimental import multihost_utils
+
+    monkeypatch.setattr(multihost_utils, "process_allgather", fake_allgather)
+    m = RecallAtK("a", "b", [1])
+    feats = np.eye(4, dtype=np.float32)
+    m.update(0.0, (FakeGlobal(feats), feats), {})
+    assert len(calls) == 1  # the ordinary ndarray went straight to asarray
+    res = m.result()
+    assert res["b_from_a-recall_at_1"] == 1.0
+
+
 @pytest.mark.slow
 def test_warm_start_image_to_video(tmp_path):
     """Image CAM checkpoint -> TimeSformer video model: missing keys must be

@@ -116,11 +116,17 @@ def save_checkpoint(
         ckptr.save(path.absolute(), payload, force=True)
         ckptr.wait_until_finished()
 
-    # strings (arch name, config) go in a sidecar the orbax dir doesn't own
-    meta = {"arch": arch}
-    if config is not None:
-        meta["config"] = dict(config)
-    (Path(ckpt_dir) / f"{name}.meta.json").write_text(json.dumps(meta, default=str))
+    # strings (arch name, config) go in a sidecar the orbax dir doesn't own.
+    # Rank-0-only: unlike the orbax save above (collective — every process
+    # must call it; orbax's primary writes and the rest barrier), this is a
+    # plain file write that would race on a shared filesystem.
+    if jax.process_index() == 0:
+        meta = {"arch": arch}
+        if config is not None:
+            meta["config"] = dict(config)
+        (Path(ckpt_dir) / f"{name}.meta.json").write_text(
+            json.dumps(meta, default=str)
+        )
     return path
 
 

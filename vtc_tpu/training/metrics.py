@@ -23,6 +23,19 @@ from ..ops.retrieval import recall_at_k
 logger = logging.getLogger(__name__)
 
 
+def _to_host(x) -> np.ndarray:
+    """``np.asarray`` that is safe for multi-host global jax.Arrays: when
+    the array is not fully addressable (each controller holds only its
+    process's slice of a batch sharded over a pod), all-gather it to every
+    host first — plain ``np.asarray`` raises on such arrays, and using only
+    the local shard would compute recall against a fraction of the gallery."""
+    if hasattr(x, "is_fully_addressable") and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 class MetricTracker:
     """Composes metrics by name and routes writer emission.
 
@@ -129,8 +142,8 @@ class RecallAtK:
         self._feats_b = []
 
     def update(self, loss, output, meta):
-        self._feats_a.append(np.asarray(output[0]))
-        self._feats_b.append(np.asarray(output[1]))
+        self._feats_a.append(_to_host(output[0]))
+        self._feats_b.append(_to_host(output[1]))
         return None  # no per-batch scalar
 
     def compute(self, features_a, features_b):

@@ -379,6 +379,17 @@ class Trainer:
         batch_stats = variables.get("batch_stats", {})
         opt_state = tx.init(params)
         self.fsdp = bool(config.get("fsdp", False))
+        if self.fsdp and jax.process_count() > 1:
+            # fsdp shards state across HOSTS' devices, so the checkpoint
+            # path's single bulk device_get cannot see the full tree —
+            # saving would crash only at the first epoch boundary. Refuse
+            # up front; distributed-array checkpointing (passing the global
+            # jax.Arrays straight to orbax) is the missing piece.
+            raise NotImplementedError(
+                "fsdp + multihost is not supported yet: checkpoint "
+                "save/restore assumes process-addressable state. Use dp/tp "
+                "(replicated state) across hosts, or fsdp on one host."
+            )
         self.state = TrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
@@ -636,6 +647,10 @@ class Trainer:
     # ------------------------------------------------------------------ #
 
     def _save_checkpoint(self, epoch: int, save_best: bool = False):
+        # multihost note: every process must reach save_checkpoint — orbax
+        # saves are collective (primary writes, the rest barrier); skipping
+        # on nonzero ranks would deadrank the barrier. The plain-file
+        # sidecar inside IS rank-0-only (checkpoints.py).
         cfg = self.config.config if hasattr(self.config, "config") else self.config
         path = save_checkpoint(
             self.checkpoint_dir,
