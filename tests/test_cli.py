@@ -145,6 +145,55 @@ def test_train_cli_stack_parallel(corpus, axis_key):
 
 
 @pytest.mark.slow
+def test_train_cli_expert_parallel(corpus):
+    """--ep is a real training configuration: the SAME train.py main()
+    builds the ("data","expert") mesh, the MoE adapter's expert stacks (and
+    their Adam moments) shard over it, and the run trains + checkpoints.
+    Completes the config-reachable axis set dp/tp/pp/sp/fsdp/ep."""
+    from vtc_tpu.parallel.expert import current_expert_mesh, set_expert_mesh
+
+    tmp_path, csv, root = corpus
+    cfg = _config(tmp_path, csv, root)
+    cfg["name"] = "cli_ep"
+    cfg["arch"]["args"]["moe_experts"] = 2
+    cfg["arch"]["args"]["moe_top_k"] = 2
+    cfg["n_devices"], cfg["ep"] = 2, 2
+    cfg_path = tmp_path / "cfg_ep.jsonc"
+    cfg_path.write_text(json.dumps(cfg))
+
+    import train as train_cli
+    from vtc_tpu.config import ConfigParser
+    from vtc_tpu.utils import read_json
+
+    config = ConfigParser(read_json(cfg_path))
+    try:
+        train_cli.main(config)
+        mesh = current_expert_mesh()
+        assert mesh is not None and dict(
+            zip(mesh.axis_names, mesh.devices.shape)
+        ) == {"data": 2, "expert": 2}
+    finally:
+        set_expert_mesh(None)  # process-global: never leak past the test
+
+    run_dir = config.save_dir
+    assert (run_dir / "checkpoint-epoch1").exists()
+    assert json.loads((run_dir / "config.json").read_text())["ep"] == 2
+
+
+def test_train_cli_ep_requires_moe(corpus):
+    tmp_path, csv, root = corpus
+    cfg = _config(tmp_path, csv, root)
+    cfg["name"] = "cli_ep_dense"
+    cfg["n_devices"], cfg["ep"] = 2, 2  # dense arch: no moe_experts
+
+    import train as train_cli
+    from vtc_tpu.config import ConfigParser
+
+    with pytest.raises(ValueError, match="moe_experts"):
+        train_cli.main(ConfigParser(cfg))
+
+
+@pytest.mark.slow
 def test_train_cli_accum_steps(corpus):
     """trainer.accum_steps is a real training configuration: the same
     train.py main() builds the accumulating (GradCache-semantics) step and

@@ -124,24 +124,33 @@ def main(config: ConfigParser):
     logger.info("Model: %s", arch_cfg["type"])
 
     # mesh: n_devices data-parallel x ONE of {n_model tensor-parallel,
-    # pp pipeline stages, sp sequence shards} on the second axis
-    # (config key n_gpu kept for config compatibility)
+    # pp pipeline stages, sp sequence shards, ep expert shards} on the
+    # second axis (config key n_gpu kept for config compatibility)
     n_devices = int(config.get("n_devices", config.get("n_gpu", 1)) or 1)
     n_model = int(config.get("n_model", 1) or 1)
     n_pp = int(config.get("pp", 1) or 1)
     n_sp = int(config.get("sp", 1) or 1)
-    if sum(n > 1 for n in (n_model, n_pp, n_sp)) > 1:
+    n_ep = int(config.get("ep", 1) or 1)
+    if sum(n > 1 for n in (n_model, n_pp, n_sp, n_ep)) > 1:
         raise ValueError(
             f"pick at most one non-data mesh axis per run: "
-            f"n_model={n_model}, pp={n_pp}, sp={n_sp}"
+            f"n_model={n_model}, pp={n_pp}, sp={n_sp}, ep={n_ep}"
         )
-    n_second = max(n_model, n_pp, n_sp)
+    if n_ep > 1 and not dict(arch_cfg["args"]).get("moe_experts"):
+        raise ValueError(
+            "--ep shards mixture-of-experts stacks over an expert mesh "
+            "axis, but this arch has no MoE (set arch;args;moe_experts, "
+            "e.g. configs/pretrained_clip_comments_attn_moe.jsonc)"
+        )
+    n_second = max(n_model, n_pp, n_sp, n_ep)
     mesh = None
     import jax
 
+    from vtc_tpu.parallel.expert import set_expert_mesh
     from vtc_tpu.parallel.stack import set_stack_parallel
 
     set_stack_parallel(None)  # newest run wins over any prior process state
+    set_expert_mesh(None)
     if n_devices * n_second > 1:
         if len(jax.devices()) >= n_devices * n_second:
             if n_pp > 1:
@@ -156,8 +165,13 @@ def main(config: ConfigParser):
 
                 mesh = create_sp_mesh(n_devices, n_sp)
                 set_stack_parallel("seq", mesh)
-            else:
-                mesh = create_mesh(n_devices, n_model)
+            elif n_ep > 1:
+                from vtc_tpu.parallel.expert import create_ep_mesh
+
+                # registers itself as the mesh MoE layers constrain their
+                # expert shardings to (set_expert_mesh); tree_shardings
+                # shards the expert-stacked params + moments over it
+                mesh = create_ep_mesh(n_devices, n_ep)
             logger.info("Mesh: %s", mesh)
         else:
             # the reference warns on a device shortfall (utils/util.py:78-98)
@@ -231,6 +245,7 @@ if __name__ == "__main__":
         CustomArgs(["--fsdp"], type=int, target="fsdp"),
         CustomArgs(["--pp"], type=int, target="pp"),
         CustomArgs(["--sp"], type=int, target="sp"),
+        CustomArgs(["--ep"], type=int, target="ep"),
         CustomArgs(["--n_micro"], type=int, target="n_micro"),
         CustomArgs(["--accum_steps"], type=int, target="trainer;accum_steps"),
         CustomArgs(["--async_checkpoint"], type=int,

@@ -149,12 +149,25 @@ def tree_shardings(tree, mesh: Mesh, fsdp: bool = False):
     divisible dims, so no new failure mode.
 
     Axes absent from the mesh degrade to replicated: the tp rules name the
-    ``model`` axis, which pipeline (``("data","pipe")``), sequence
-    (``("data","seq")``) and expert meshes don't have — on those meshes the
-    params replicate (their sharding lives in the shard_map schedules /
-    expert constraints instead)."""
+    ``model`` axis, which pipeline (``("data","pipe")``) and sequence
+    (``("data","seq")``) meshes don't have — on those meshes the params
+    replicate (their sharding lives in the shard_map schedules). On a mesh
+    with an ``"expert"`` axis (``expert.create_ep_mesh``, ``train.py --ep``)
+    the MoE expert stacks — and, by the same path-suffix matching, their
+    Adam moments — shard their leading n_experts dim over it, so each
+    device stores and updates only its own experts."""
+
+    expert_axis = None
+    if "expert" in mesh.shape:
+        from .expert import EXPERT_AXIS, moe_pspec
+
+        expert_axis = EXPERT_AXIS
 
     def check(path, leaf, spec):
+        if expert_axis is not None:
+            moe = moe_pspec(_path_str(path))
+            if moe is not None and len(moe) <= len(getattr(leaf, "shape", ())):
+                spec = moe
         if any(axis is not None and axis not in mesh.shape for axis in spec):
             spec = P(
                 *(a if (a is None or a in mesh.shape) else None for a in spec)
