@@ -244,3 +244,50 @@ def test_trainer_fsdp_config_shards_state(tmp_path):
     assert emb.addressable_shards[0].data.size == emb.size // 8
     mu = trainer.state.opt_state.mu["clip"]["text"]["token_embedding"]
     assert mu.addressable_shards[0].data.size == mu.size // 8
+
+
+def test_fsdp_distributed_checkpoint_roundtrip(tmp_path, monkeypatch):
+    """The multi-host fsdp checkpoint path: sharded global jax.Arrays go
+    STRAIGHT to orbax (no host gather — on a pod each process only holds
+    its own shards, so the bulk device_get of the fast path would throw),
+    and resume grafts without materializing live leaves. Exercised here on
+    the 8-device mesh by forcing gather_to_host=False."""
+    from vtc_tpu.training.checkpoints import (
+        graft_params,
+        load_checkpoint,
+        save_checkpoint,
+    )
+
+    monkeypatch.setattr(mesh_mod, "FSDP_MIN_SIZE", 0)
+    variables, _, make_state = _model_and_step()
+    mesh = create_mesh(8, 1)
+    params = jax.device_put(
+        variables["params"],
+        tree_shardings(variables["params"], mesh, fsdp=True),
+    )
+    state = make_state(params)
+
+    save_checkpoint(
+        tmp_path, "ckpt-dist",
+        arch="PretrainedCLIP_finaltf", epoch=3,
+        params=state.params, opt_state=state.opt_state,
+        monitor_best=0.5, gather_to_host=False,
+    )
+    ckpt = load_checkpoint(tmp_path / "ckpt-dist")
+    assert int(ckpt["epoch"]) == 3
+
+    host = jax.device_get(state.params)
+    restored_flat = jax.tree_util.tree_leaves_with_path(ckpt["params"])
+    host_flat = dict(jax.tree_util.tree_leaves_with_path(host))
+    assert restored_flat
+    for path, leaf in restored_flat:
+        np.testing.assert_array_equal(np.asarray(leaf), host_flat[path])
+
+    # graft back into the LIVE sharded tree without touching its leaves:
+    # matched keys take checkpoint values, and nothing np.asarray'd the
+    # sharded init (missing-key leaves pass through as the same object)
+    merged, missing, unexpected = graft_params(state.params, ckpt["params"])
+    assert not missing and not unexpected
+    m_flat = dict(jax.tree_util.tree_leaves_with_path(merged))
+    for path, leaf in restored_flat:
+        np.testing.assert_array_equal(np.asarray(m_flat[path]), np.asarray(leaf))

@@ -376,10 +376,12 @@ def test_accum_steps_validates_divisibility():
         accum(state, (vis, title, comments), {}, jax.random.PRNGKey(0))
 
 
-def test_fsdp_multihost_refused(tmp_path, monkeypatch):
-    """fsdp shards state across hosts' devices, so the checkpoint path's
-    bulk device_get (rank-0 write) can't see the full tree — the trainer
-    must refuse the combination at init, not crash at the epoch boundary."""
+def test_fsdp_multihost_accepted(tmp_path, monkeypatch):
+    """fsdp + multihost is a supported combination (round 4): checkpoints
+    go down the distributed path — save_checkpoint hands non-addressable
+    global jax.Arrays straight to orbax instead of bulk-device_get'ing
+    (test_fsdp.py::test_fsdp_distributed_checkpoint_roundtrip pins that
+    path) — so Trainer init must accept it rather than refuse."""
     csv = _make_features_fixture(tmp_path)
     config = _min_config(tmp_path)
     config.config["fsdp"] = True
@@ -393,9 +395,9 @@ def test_fsdp_multihost_refused(tmp_path, monkeypatch):
         steps_per_epoch=len(loader), branch_to_freeze="all",
     )
     monkeypatch.setattr(jax, "process_count", lambda: 2)
-    with pytest.raises(NotImplementedError, match="fsdp"):
-        Trainer(module, variables, clip_loss, [], tx, config, loader,
-                arch_name="PretrainedCLIP_finaltf")
+    trainer = Trainer(module, variables, clip_loss, [], tx, config, loader,
+                      arch_name="PretrainedCLIP_finaltf")
+    assert trainer.fsdp
 
 
 def test_checkpoint_multihost_write_contract(tmp_path, monkeypatch):

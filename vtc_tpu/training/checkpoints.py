@@ -83,12 +83,22 @@ def save_checkpoint(
     monitor_best=None,
     config=None,
     async_save: bool = False,
+    gather_to_host: Optional[bool] = None,
 ) -> Path:
     """``async_save=True`` (config ``trainer.async_checkpoint``) returns as
     soon as the device→host copy is done and commits the directory in a
     background thread, overlapping the (low-priority) disk write with the
     next epoch's steps. Saves are serialized per process; the sidecar is
-    written immediately (host-only data)."""
+    written immediately (host-only data).
+
+    ``gather_to_host`` controls whether the tree is pulled to host in one
+    bulk transfer before the save (the fast path on a tunneled dev chip).
+    Default: gather when every leaf is process-addressable, hand the global
+    ``jax.Array``s straight to Orbax otherwise — i.e. a multi-host fsdp/
+    ZeRO-3 run saves DISTRIBUTED: each host serializes only its own shards
+    and Orbax coordinates the collective commit (every process must call
+    this function; the checkpoint dir must be on a filesystem all hosts
+    see)."""
     import json
 
     path = Path(ckpt_dir) / name
@@ -103,9 +113,16 @@ def save_checkpoint(
         payload["batch_stats"] = batch_stats
     if opt_state is not None:
         payload["opt_state"] = opt_state
-    # ONE host transfer for the whole tree — per-leaf np.asarray pays a
-    # device round-trip per parameter (CLAUDE.md "per-leaf host transfers")
-    payload = jax.device_get(payload)
+    if gather_to_host is None:
+        gather_to_host = all(
+            getattr(leaf, "is_fully_addressable", True)
+            for leaf in jax.tree_util.tree_leaves(payload)
+        )
+    if gather_to_host:
+        # ONE host transfer for the whole tree — per-leaf np.asarray pays a
+        # device round-trip per parameter (CLAUDE.md "per-leaf host
+        # transfers")
+        payload = jax.device_get(payload)
 
     if async_save:
         ckptr = _async_checkpointer()
@@ -171,8 +188,15 @@ def graft_params(init_params, loaded_params, strict: bool = False):
     ``missing`` = params the model has but the checkpoint lacks (must be
     time/temporal), ``unexpected`` = checkpoint params the model lacks (must
     be final/mask).
+
+    ``init_params`` leaves are NOT pulled to host: only their shapes are
+    consulted, and leaves missing from the checkpoint are returned as-is.
+    That skips a full device->host round-trip on every resume, and it is
+    what lets a multi-host fsdp run resume at all — its live params are
+    global ``jax.Array``s whose shards live on other hosts, so an
+    ``np.asarray`` would throw (non-addressable).
     """
-    flat_init = _flatten(jax.tree_util.tree_map(np.asarray, init_params))
+    flat_init = _flatten(init_params)
     flat_load = _flatten(jax.tree_util.tree_map(np.asarray, loaded_params))
 
     missing = sorted(set(flat_init) - set(flat_load))

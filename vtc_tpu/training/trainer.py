@@ -380,15 +380,15 @@ class Trainer:
         opt_state = tx.init(params)
         self.fsdp = bool(config.get("fsdp", False))
         if self.fsdp and jax.process_count() > 1:
-            # fsdp shards state across HOSTS' devices, so the checkpoint
-            # path's single bulk device_get cannot see the full tree —
-            # saving would crash only at the first epoch boundary. Refuse
-            # up front; distributed-array checkpointing (passing the global
-            # jax.Arrays straight to orbax) is the missing piece.
-            raise NotImplementedError(
-                "fsdp + multihost is not supported yet: checkpoint "
-                "save/restore assumes process-addressable state. Use dp/tp "
-                "(replicated state) across hosts, or fsdp on one host."
+            # fsdp shards state across HOSTS' devices: checkpoints go down
+            # the distributed path (save_checkpoint hands the global
+            # jax.Arrays straight to orbax — each host writes only its own
+            # shards; graft_params never host-materializes live leaves on
+            # resume). The checkpoint dir must be on a filesystem every
+            # host sees (orbax's collective-commit contract).
+            self.logger.info(
+                "fsdp + multihost: distributed checkpointing (per-host "
+                "shard writes; save_dir must be shared across hosts)"
             )
         self.state = TrainState(
             step=jnp.zeros((), jnp.int32),
@@ -797,9 +797,15 @@ class Trainer:
                         len(restored_leaves), len(live_leaves),
                     )
 
+        # asarray only host leaves: graft_params returns the LIVE jax.Array
+        # for params missing from the checkpoint (possibly multi-host
+        # sharded — jnp.asarray on those would try to materialize them)
+        def _host_to_dev(x):
+            return x if isinstance(x, jax.Array) else jnp.asarray(x)
+
         self.state = self.state.replace(
-            params=jax.tree_util.tree_map(jnp.asarray, params),
-            batch_stats=jax.tree_util.tree_map(jnp.asarray, batch_stats),
+            params=jax.tree_util.tree_map(_host_to_dev, params),
+            batch_stats=jax.tree_util.tree_map(_host_to_dev, batch_stats),
             opt_state=opt_state,
         )
         self._shard_state()
