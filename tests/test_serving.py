@@ -145,3 +145,137 @@ def test_service_query_bucketing_one_executable():
     assert ids.shape == (3, 2)
     service.search_text(tokens[:1], k=2)
     assert service._encode_text._cache_size() == 2  # buckets {1, 4}
+
+
+@pytest.fixture(scope="module")
+def http_server():
+    """Tiny model + self-encoded gallery behind the HTTP server on an
+    ephemeral port (the scripts/serve.py deployment surface, in-process)."""
+    import jax.numpy as jnp
+
+    from vtc_tpu.serving.server import RetrievalHTTPServer
+
+    module, variables = create_model("PretrainedCLIP", model_type="test-tiny")
+    titles = [f"a video about topic {i}" for i in range(6)]
+    feats = np.asarray(
+        module.apply(
+            variables, jnp.asarray(tk.tokenize(titles)), method="encode_text"
+        )
+    )
+    feats = feats / np.linalg.norm(feats, axis=-1, keepdims=True)
+    index = RetrievalIndex(feats.shape[-1])
+    index.add(feats, 100 + np.arange(6))
+    service = ClipRetrievalService(module, variables, index)
+    server = RetrievalHTTPServer(service, tokenizer=tk.tokenize, port=0,
+                                 max_k=10, max_batch=8)
+    server.start()
+    yield server
+    server.shutdown()
+
+
+def _post(port, path, payload):
+    import json as _json
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=_json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            return resp.status, _json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, _json.loads(e.read())
+
+
+def test_http_server_text_search(http_server):
+    import json as _json
+    import urllib.request
+
+    port = http_server.port
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{port}/healthz", timeout=60
+    ) as resp:
+        health = _json.loads(resp.read())
+    assert health == {"status": "ok", "gallery_size": 6}
+
+    # the gallery was built from the service's own text encoder, so each
+    # title must retrieve its own id first — end to end through HTTP
+    status, out = _post(
+        port, "/search/text",
+        {"queries": ["a video about topic 3", "a video about topic 0"],
+         "k": 3},
+    )
+    assert status == 200
+    assert out["ids"][0][0] == 103 and out["ids"][1][0] == 100
+    assert len(out["scores"][0]) == 3
+    # descending scores
+    assert out["scores"][0] == sorted(out["scores"][0], reverse=True)
+
+
+def test_http_server_image_search(http_server):
+    rng = np.random.default_rng(0)
+    images = rng.normal(size=(2, 3, 32, 32)).astype(np.float32)
+    status, out = _post(
+        http_server.port, "/search/image",
+        {"images": images.tolist(), "k": 2},
+    )
+    assert status == 200
+    assert np.asarray(out["ids"]).shape == (2, 2)
+    assert np.isfinite(np.asarray(out["scores"])).all()
+
+
+def test_http_server_input_validation(http_server):
+    port = http_server.port
+    # bad JSON
+    import urllib.error
+    import urllib.request
+
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/search/text", data=b"{not json",
+        headers={"Content-Type": "application/json"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=60)
+    assert ei.value.code == 400
+
+    # wrong types / limits / routes
+    assert _post(port, "/search/text", {"queries": "not a list"})[0] == 400
+    assert _post(port, "/search/text", {"queries": []})[0] == 400
+    assert _post(port, "/search/text",
+                 {"queries": ["x"] * 9})[0] == 400  # > max_batch
+    assert _post(port, "/search/text", {"queries": ["x"], "k": 99})[0] == 400
+    assert _post(port, "/search/image", {"images": [1.0, 2.0]})[0] == 400
+    assert _post(port, "/nope", {})[0] == 404
+
+
+def test_serve_cli_build_server(tmp_path):
+    """scripts/serve.py assembles the server from a config + gallery npz
+    (the deployment path: feature script output -> HTTP)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
+    import serve as serve_cli
+
+    rng = np.random.default_rng(1)
+    emb = rng.normal(size=(5, 32)).astype(np.float32)  # test-tiny embed_dim
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    np.savez(tmp_path / "gallery.npz",
+             embeddings=emb, reddit_ids=np.arange(5))
+
+    config = {
+        "arch": {"type": "PretrainedCLIP", "args": {"model_type": "test-tiny"}}
+    }
+    server = serve_cli.build_server(
+        config, None, tmp_path / "gallery.npz", port=0
+    )
+    try:
+        server.start()
+        status, out = _post(server.port, "/search/text",
+                            {"queries": ["hello"], "k": 2})
+        assert status == 200 and len(out["ids"][0]) == 2
+    finally:
+        server.shutdown()
