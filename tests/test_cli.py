@@ -180,6 +180,44 @@ def test_train_cli_expert_parallel(corpus):
     assert json.loads((run_dir / "config.json").read_text())["ep"] == 2
 
 
+@pytest.mark.slow
+def test_train_cli_multislice(corpus):
+    """--slices is a real training configuration: train.py builds the
+    ("replica","data","model") mesh (replica = cross-slice data
+    parallelism; only the gradient psum crosses DCN) and trains +
+    checkpoints through it."""
+    tmp_path, csv, root = corpus
+    cfg = _config(tmp_path, csv, root)
+    cfg["name"] = "cli_slices"
+    cfg["n_devices"], cfg["slices"] = 2, 2
+    cfg_path = tmp_path / "cfg_slices.jsonc"
+    cfg_path.write_text(json.dumps(cfg))
+
+    import train as train_cli
+    from vtc_tpu.config import ConfigParser
+    from vtc_tpu.utils import read_json
+
+    config = ConfigParser(read_json(cfg_path))
+    train_cli.main(config)
+
+    run_dir = config.save_dir
+    assert (run_dir / "checkpoint-epoch1").exists()
+    assert json.loads((run_dir / "config.json").read_text())["slices"] == 2
+
+
+def test_train_cli_slices_rejects_stack_axes(corpus):
+    tmp_path, csv, root = corpus
+    cfg = _config(tmp_path, csv, root)
+    cfg["name"] = "cli_slices_pp"
+    cfg["n_devices"], cfg["slices"], cfg["pp"] = 2, 2, 2
+
+    import train as train_cli
+    from vtc_tpu.config import ConfigParser
+
+    with pytest.raises(ValueError, match="slices"):
+        train_cli.main(ConfigParser(cfg))
+
+
 def test_train_cli_ep_requires_moe(corpus):
     tmp_path, csv, root = corpus
     cfg = _config(tmp_path, csv, root)

@@ -267,3 +267,127 @@ def test_tp_degree_must_divide_head_count():
             create_model("PretrainedCLIP", model_type="test-tiny", seed=0)
     finally:
         layers.set_tp_qkv(False)
+
+
+def test_multislice_mesh_axes():
+    """--slices builds a ("replica","data","model") mesh: replica (the only
+    DCN-crossing axis) outermost, tp innermost — the scaling-book layout."""
+    from vtc_tpu.parallel.mesh import batch_pspec, create_mesh as cm
+
+    mesh = cm(2, 2, n_replica=2)
+    assert mesh.axis_names == ("replica", "data", "model")
+    assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {
+        "replica": 2, "data": 2, "model": 2,
+    }
+    assert batch_pspec(mesh) == P(("replica", "data"))
+    # single-slice meshes and their batch spec are unchanged
+    mesh1 = cm(4, 2)
+    assert mesh1.axis_names == ("data", "model")
+    assert batch_pspec(mesh1) == P(DATA_AXIS)
+
+
+@pytest.mark.slow
+def test_multislice_train_step_matches_single_device():
+    """One replica=2 x dp=2 x tp=2 training step ≡ the unsharded step: the
+    replica axis is pure cross-slice data parallelism, so adding it must
+    not change loss or updates (GSPMD inserts the extra gradient psum)."""
+    from vtc_tpu.parallel.mesh import batch_pspec, create_mesh as cm
+
+    module, variables = create_model(
+        "PretrainedCLIP_finaltf", model_type=TINY, seed=0,
+        random_skip_adapter=False,
+    )
+    tx = build_optimizer(
+        variables["params"], {"type": "Adam", "args": {"lr": 1e-2}}, None, 1
+    )
+    train_step, _ = make_step_fns(module, clip_loss, tx, donate=False)
+
+    def make_state(params):
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=tx.init(params),
+            batch_stats=variables.get("batch_stats", {}),
+        )
+
+    vis, title, comments = _data()
+    rng = jax.random.PRNGKey(7)
+
+    state1 = make_state(variables["params"])
+    new1, loss1, _ = train_step(
+        state1, (jnp.asarray(vis), jnp.asarray(title), jnp.asarray(comments)),
+        {}, rng,
+    )
+
+    mesh = cm(2, 2, n_replica=2)
+    params = jax.device_put(
+        variables["params"], tree_shardings(variables["params"], mesh)
+    )
+    state2 = make_state(params)
+    ds = NamedSharding(mesh, batch_pspec(mesh))
+    with mesh:
+        new2, loss2, _ = train_step(
+            state2,
+            tuple(jax.device_put(a, ds) for a in (vis, title, comments)),
+            {}, rng,
+        )
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=2e-5)
+    p1 = np.asarray(jax.device_get(new1.params["cam"]["final_linear"]))
+    p2 = np.asarray(jax.device_get(new2.params["cam"]["final_linear"]))
+    np.testing.assert_allclose(p1, p2, atol=1e-5)
+    # the batch really is sharded over replica x data (8 rows / 4 shards,
+    # replicated over tp): every device holds 2 rows
+    b = jax.device_put(vis, ds)
+    assert b.addressable_shards[0].data.shape[0] == vis.shape[0] // 4
+
+
+@pytest.mark.slow
+def test_multislice_composes_with_fsdp():
+    """fsdp on a multi-slice mesh shards weights/moments over the INTRA-
+    slice data axis only (weight all-gathers stay on ICI; only the gradient
+    psum crosses the replica/DCN axis) — and stays exact."""
+    from vtc_tpu.parallel.mesh import batch_pspec, create_mesh as cm
+
+    module, variables = create_model(
+        "PretrainedCLIP_finaltf", model_type=TINY, seed=0,
+        random_skip_adapter=False,
+    )
+    tx = build_optimizer(
+        variables["params"], {"type": "Adam", "args": {"lr": 1e-2}}, None, 1
+    )
+    train_step, _ = make_step_fns(module, clip_loss, tx, donate=False)
+
+    def make_state(params):
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=tx.init(params),
+            batch_stats=variables.get("batch_stats", {}),
+        )
+
+    vis, title, comments = _data()
+    rng = jax.random.PRNGKey(7)
+    state1 = make_state(variables["params"])
+    _, loss1, _ = train_step(
+        state1, (jnp.asarray(vis), jnp.asarray(title), jnp.asarray(comments)),
+        {}, rng,
+    )
+
+    mesh = cm(4, 1, n_replica=2)
+    params = jax.device_put(
+        variables["params"], tree_shardings(variables["params"], mesh, fsdp=True)
+    )
+    emb = params["clip"]["text"]["token_embedding"]
+    # sharded over data(4) only, REPLICATED over replica(2): 8 addressable
+    # shards but only a 1/4 reduction per shard
+    assert emb.addressable_shards[0].data.size == emb.size // 4
+    state2 = make_state(params)
+    ds = NamedSharding(mesh, batch_pspec(mesh))
+    with mesh:
+        _, loss2, _ = train_step(
+            state2,
+            tuple(jax.device_put(a, ds) for a in (vis, title, comments)),
+            {}, rng,
+        )
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=2e-5)

@@ -131,10 +131,17 @@ def main(config: ConfigParser):
     n_pp = int(config.get("pp", 1) or 1)
     n_sp = int(config.get("sp", 1) or 1)
     n_ep = int(config.get("ep", 1) or 1)
+    n_replica = int(config.get("slices", 1) or 1)
     if sum(n > 1 for n in (n_model, n_pp, n_sp, n_ep)) > 1:
         raise ValueError(
             f"pick at most one non-data mesh axis per run: "
             f"n_model={n_model}, pp={n_pp}, sp={n_sp}, ep={n_ep}"
+        )
+    if n_replica > 1 and (n_pp > 1 or n_sp > 1 or n_ep > 1):
+        raise ValueError(
+            "--slices composes with dp/tp/fsdp (replica = data parallelism "
+            "across slices; only the gradient psum crosses DCN) — not with "
+            f"pp/sp/ep (got pp={n_pp}, sp={n_sp}, ep={n_ep})"
         )
     if n_ep > 1 and not dict(arch_cfg["args"]).get("moe_experts"):
         raise ValueError(
@@ -151,8 +158,8 @@ def main(config: ConfigParser):
 
     set_stack_parallel(None)  # newest run wins over any prior process state
     set_expert_mesh(None)
-    if n_devices * n_second > 1:
-        if len(jax.devices()) >= n_devices * n_second:
+    if n_devices * n_second * n_replica > 1:
+        if len(jax.devices()) >= n_devices * n_second * n_replica:
             if n_pp > 1:
                 from vtc_tpu.parallel.pipeline import create_pipeline_mesh
 
@@ -172,15 +179,20 @@ def main(config: ConfigParser):
                 # expert shardings to (set_expert_mesh); tree_shardings
                 # shards the expert-stacked params + moments over it
                 mesh = create_ep_mesh(n_devices, n_ep)
+            else:
+                # dp×tp — with --slices, replica-across-slices dp on the
+                # outermost axis (gradient psum over DCN; tp/fsdp on ICI)
+                mesh = create_mesh(n_devices, n_model, n_replica=n_replica)
             logger.info("Mesh: %s", mesh)
         else:
             # the reference warns on a device shortfall (utils/util.py:78-98)
             # — a misconfigured multi-chip run should be diagnosed, not
             # silently slow
             logger.warning(
-                "Requested a %dx%d mesh but only %d device(s) are "
-                "available; training UNSHARDED on one device.",
-                n_devices, n_second, len(jax.devices()),
+                "Requested a %dx%dx%d (slices x data x second-axis) mesh "
+                "but only %d device(s) are available; training UNSHARDED "
+                "on one device.",
+                n_replica, n_devices, n_second, len(jax.devices()),
             )
 
     criterion = LOSSES[config["loss"]]
@@ -246,6 +258,7 @@ if __name__ == "__main__":
         CustomArgs(["--pp"], type=int, target="pp"),
         CustomArgs(["--sp"], type=int, target="sp"),
         CustomArgs(["--ep"], type=int, target="ep"),
+        CustomArgs(["--slices"], type=int, target="slices"),
         CustomArgs(["--n_micro"], type=int, target="n_micro"),
         CustomArgs(["--accum_steps"], type=int, target="trainer;accum_steps"),
         CustomArgs(["--async_checkpoint"], type=int,

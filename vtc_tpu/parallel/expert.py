@@ -65,6 +65,12 @@ def create_ep_mesh(n_data: int, n_expert: int, devices=None) -> Mesh:
             f"need {n_data * n_expert} devices, have {len(devices)}"
         )
     arr = np.array(devices[: n_data * n_expert]).reshape(n_data, n_expert)
+    from ..models import layers
+
+    # newest-mesh-wins (like create_pipeline_mesh/create_sp_mesh): an
+    # expert mesh has no tp axis, so attention drops back to the merged
+    # single-GEMM qkv form
+    layers.set_tp_qkv(False, 1)
     mesh = Mesh(arr, (DATA_AXIS, EXPERT_AXIS))
     set_expert_mesh(mesh)
     return mesh

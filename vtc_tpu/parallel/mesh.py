@@ -41,16 +41,30 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+# multi-slice scale-out axis: data parallelism ACROSS slices. Gradient
+# all-reduces are the only traffic that crosses it (DCN-friendly: one
+# psum per step); tp collectives and fsdp weight gathers name the inner
+# axes, so they stay on ICI within a slice — the scaling-book layout.
+REPLICA_AXIS = "replica"
 
 
 def create_mesh(
-    n_data: Optional[int] = None, n_model: int = 1, devices=None
+    n_data: Optional[int] = None,
+    n_model: int = 1,
+    devices=None,
+    n_replica: int = 1,
 ) -> Mesh:
+    """``("data", "model")`` mesh, or ``("replica", "data", "model")`` with
+    ``n_replica > 1`` for multi-slice pods (``train.py --slices``): the
+    replica axis is laid out across slices so only the gradient psum rides
+    DCN, while tp/fsdp collectives stay on each slice's ICI. On hardware
+    that reports slice topology the hybrid layout comes from
+    ``mesh_utils.create_hybrid_device_mesh``; elsewhere (CPU test meshes)
+    devices are grouped contiguously, which preserves the axis semantics."""
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
-        n_data = len(devices) // n_model
-    devices = devices[: n_data * n_model]
-    arr = np.array(devices).reshape(n_data, n_model)
+        n_data = len(devices) // (n_model * n_replica)
+    devices = devices[: n_replica * n_data * n_model]
     # Switch attention to the per-projection qkv dots so the [3, E, E]
     # sharding stays collective-free; read at trace time, so setting it
     # here covers every caller. tp=1 meshes switch BACK to the merged GEMM
@@ -58,7 +72,20 @@ def create_mesh(
     from ..models import layers
 
     layers.set_tp_qkv(n_model > 1, n_model)
-    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+    if n_replica == 1:
+        arr = np.array(devices).reshape(n_data, n_model)
+        return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+    try:
+        from jax.experimental import mesh_utils
+
+        arr = mesh_utils.create_hybrid_device_mesh(
+            (1, n_data, n_model), (n_replica, 1, 1), devices=devices
+        )
+    except (ValueError, AttributeError, KeyError):
+        # no slice topology attributes (CPU backend / single-slice
+        # hardware): contiguous grouping keeps each "slice" a block
+        arr = np.array(devices).reshape(n_replica, n_data, n_model)
+    return Mesh(arr, (REPLICA_AXIS, DATA_AXIS, MODEL_AXIS))
 
 
 # (path regex, PartitionSpec) — first match wins. Paths are '/'-joined.
@@ -192,13 +219,18 @@ def tree_shardings(tree, mesh: Mesh, fsdp: bool = False):
     return jax.tree_util.tree_map_with_path(check, tree, specs)
 
 
-def batch_pspec():
+def batch_pspec(mesh: Optional[Mesh] = None):
+    """Leading-axis spec for batches: over ``data``, or over
+    ``(replica, data)`` together on a multi-slice mesh (each slice's data
+    shards hold a disjoint block of the global batch)."""
+    if mesh is not None and REPLICA_AXIS in mesh.shape:
+        return P((REPLICA_AXIS, DATA_AXIS))
     return P(DATA_AXIS)
 
 
 def batch_shardings(tree, mesh: Mesh):
     return jax.tree_util.tree_map(
-        lambda _: NamedSharding(mesh, P(DATA_AXIS)), tree
+        lambda _: NamedSharding(mesh, batch_pspec(mesh)), tree
     )
 
 
@@ -219,7 +251,7 @@ def shard_batch(batch, mesh: Mesh):
     the global jax.Array from the per-host pieces. A plain ``device_put``
     against the global sharding would treat the local slice as the whole
     batch (wrong global shape / silent replication)."""
-    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    sharding = NamedSharding(mesh, batch_pspec(mesh))
     multihost = jax.process_count() > 1
 
     def put(x):
