@@ -110,13 +110,57 @@ def main(config: ConfigParser, args, checkpoint_path):
 
     needs_comments = hasattr(module, "branch_to_adapt_val")
 
+    # mesh-sharded eval (--n_devices/--n_model, like train.py): params laid
+    # out by the tp rules, batches sharded over the data axis — the
+    # "sharded all-gather over ICI" eval path, user-reachable from this CLI
+    # (single-device when the flags are absent, byte-identical results)
+    mesh = None
+    n_dev = int(config.get("n_devices", 1) or 1)
+    n_model = int(config.get("n_model", 1) or 1)
+    if n_dev * n_model > 1:
+        if len(jax.devices()) >= n_dev * n_model:
+            from vtc_tpu.parallel.mesh import create_mesh, tree_shardings
+
+            mesh = create_mesh(n_dev, n_model)
+            variables = dict(variables)
+            variables["params"] = jax.device_put(
+                variables["params"],
+                tree_shardings(variables["params"], mesh),
+            )
+            logger.info("Eval mesh: %s", mesh)
+        else:
+            logger.warning(
+                "Requested a %dx%d mesh but only %d device(s); "
+                "evaluating on one device.",
+                n_dev, n_model, len(jax.devices()),
+            )
+
     @jax.jit
     def _fwd(variables, *data):
         out = module.apply(variables, *data)
         return out[0], out[1]
 
     def fwd(*data):
-        return _fwd(variables, *data)
+        if mesh is None:
+            return _fwd(variables, *[jnp.asarray(d) for d in data])
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from vtc_tpu.parallel.mesh import DATA_AXIS
+
+        # eval has no drop_last: repeat-pad the tail batch to the data-axis
+        # multiple (identical per-row math), slice the pads back off
+        n_shard = mesh.shape[DATA_AXIS]
+        bs = data[0].shape[0]
+        pad = (-bs) % n_shard
+
+        def put(d):
+            if pad:
+                d = np.concatenate([d, np.repeat(d[-1:], pad, axis=0)])
+            return jax.device_put(d, NamedSharding(mesh, P(DATA_AXIS)))
+
+        with mesh:
+            fv, ft = _fwd(variables, *[put(d) for d in data])
+        return fv[:bs], ft[:bs]
 
     from vtc_tpu.data.tokenizer import truncate_batch_tokens
 
@@ -135,7 +179,7 @@ def main(config: ConfigParser, args, checkpoint_path):
         # forces the model's separate-passes fallback instead of the fused
         # joint text-tower pass and multiplies the compiled variants.
         data = truncate_batch_tokens(data)
-        feats_vis, feats_text = fwd(*[jnp.asarray(d) for d in data])
+        feats_vis, feats_text = fwd(*data)
         res_vis.append(np.asarray(feats_vis))
         res_text.append(np.asarray(feats_text))
         ids.extend(np.asarray(meta["id"]).tolist())
@@ -172,6 +216,8 @@ if __name__ == "__main__":
     options = [
         CustomArgs(["--lr", "--learning_rate"], type=float, target="optimizer;args;lr"),
         CustomArgs(["--bs", "--batch_size"], type=int, target="batch_size"),
+        CustomArgs(["--n_devices"], type=int, target="n_devices"),
+        CustomArgs(["--n_model"], type=int, target="n_model"),
         CustomArgs(["--bv", "--branch_to_adapt_val"], type=str,
                    target="arch;args;branch_to_adapt_val"),
         CustomArgs(["--nc", "--num_comms"], type=int, target="dataset;args;num_comms"),

@@ -328,6 +328,37 @@ def test_eval_cli_main(corpus, monkeypatch, tmp_path):
     Path("zero_shot_res_None.json").unlink()
 
 
+@pytest.mark.slow
+def test_eval_cli_sharded_mesh_matches_single_device(corpus, monkeypatch,
+                                                     tmp_path):
+    """--n_devices/--n_model on the eval CLI: params laid out by the tp
+    rules, batches data-sharded with tail repeat-padding (eval has no
+    drop_last) — results must be byte-identical to the single-device run."""
+    monkeypatch.chdir(tmp_path)
+    tmp_path2, csv, root = corpus
+    cfg = _config(tmp_path2, csv, root)
+    cfg["batch_size"] = 5  # 17 test items -> tail batch of 2: pads to 4
+    cfg_path = tmp_path2 / "cfg_eval_mesh.jsonc"
+    cfg_path.write_text(json.dumps(cfg))
+
+    import importlib
+
+    eval_cli = importlib.import_module("eval")
+    from vtc_tpu.config import ConfigParser
+    from vtc_tpu.utils import read_json
+
+    class Args:
+        num_irrelevant_comments = 0
+
+    single = eval_cli.main(ConfigParser(read_json(cfg_path)), Args(), None)
+
+    cfg["n_devices"], cfg["n_model"] = 2, 2
+    cfg_path.write_text(json.dumps(cfg))
+    sharded = eval_cli.main(ConfigParser(read_json(cfg_path)), Args(), None)
+    assert sharded == pytest.approx(single, abs=1e-5)
+    Path("zero_shot_res_None.json").unlink()
+
+
 def test_eval_cli_irrelevant_comments(corpus):
     tmp_path, csv, root = corpus
     import importlib
