@@ -59,7 +59,8 @@ def load_model(checkpoint_path, model_type, branch_to_adapt="text",
     return module, variables
 
 
-if __name__ == "__main__":
+def main(argv=None, dataset=None):
+    """CLI entry (``argv`` and ``dataset`` injectable for tests)."""
     args = argparse.ArgumentParser()
     args.add_argument(
         "-c", "--dataset", default="MSRVTT_videos",
@@ -80,7 +81,9 @@ if __name__ == "__main__":
     args.add_argument("--frame_stride", default=16, type=int)
     args.add_argument("--first_frame_only", action="store_true")
     args.add_argument("--first_chunk_only", action="store_true")
-    args = args.parse_args()
+    args.add_argument("--n_devices", default=1, type=int,
+                      help="shard eval batches + ranking over a data mesh")
+    args = args.parse_args(argv)
 
     if args.device:
         # the TPU analogue of the reference's device selection: "-d cpu"
@@ -100,10 +103,35 @@ if __name__ == "__main__":
         branch_to_adapt=args.branch_to_adapt,
         residual_activation=args.residual_activation,
     )
-    retrieval_evaluation(
+
+    # --n_devices shards the per-video batches AND the final ranking over a
+    # data mesh (retrieval_eval places the params by the tp rules); results
+    # are identical to single-device (tests/test_transfer_eval_sharded.py)
+    mesh = None
+    if args.n_devices > 1:
+        import jax
+
+        if len(jax.devices()) >= args.n_devices:
+            from vtc_tpu.parallel.mesh import create_mesh
+
+            mesh = create_mesh(args.n_devices, 1)
+        else:
+            print(
+                f"warning: requested {args.n_devices} devices but only "
+                f"{len(jax.devices())} available; evaluating on one device",
+                file=sys.stderr,
+            )
+
+    return retrieval_evaluation(
         module, variables, args.dataset, args.split,
         out_csv=args.out_csv,
         frame_stride=args.frame_stride,
         first_frame_only=args.first_frame_only,
         first_chunk_only=args.first_chunk_only,
+        mesh=mesh,
+        dataset=dataset,
     )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,208 @@
+"""Mesh-sharded + multihost transfer evaluation (round-5 item 1): sharding
+the per-video batches and the ranking over a data mesh is pinned identical to
+the single-device path, the 2-host disjoint split covers every video exactly
+once with identical final metrics, and the CLI reaches the mesh via
+``--n_devices``."""
+
+import importlib
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import vtc_tpu.evaluation.retrieval_eval as re_mod
+from vtc_tpu.data import tokenizer as tk
+from vtc_tpu.evaluation.retrieval_eval import (
+    _encode_local,
+    _flatten_caps,
+    _locally_materializable,
+    retrieval_evaluation,
+)
+from vtc_tpu.models import create_model
+from vtc_tpu.parallel.mesh import create_mesh
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO / "evaluation"))
+
+TINY = "test-tiny"
+RES = 32
+
+
+class _SyntheticVideoDataset:
+    """(frames, captions, comments, id) items: frames engineered so each
+    video is closest to its own captions."""
+
+    def __init__(self, n=6, ncap=1, seed=0):
+        self.n = n
+        self.ncap = ncap
+        rng = np.random.default_rng(seed)
+        self.frames = [
+            rng.normal(size=(24, 3, RES, RES)).astype(np.float32)
+            for _ in range(n)
+        ]
+        self.texts = [
+            [f"unique video number {i} topic {i}"] * ncap for i in range(n)
+        ]
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        caps = tk.tokenize(self.texts[i])
+        comments = tk.tokenize([f"comment about {i}", "more text"])
+        return self.frames[i], caps, comments, {}
+
+
+class _RaggedDataset(_SyntheticVideoDataset):
+    def __getitem__(self, i):
+        ncap = 1 + (i % 3)
+        caps = tk.tokenize(
+            [f"unique video number {i} caption {j}" for j in range(ncap)]
+        )
+        comments = tk.tokenize(["a comment"])
+        return self.frames[i], caps, comments, {}
+
+
+@pytest.fixture(scope="module")
+def cam_model():
+    return create_model("PretrainedCLIP_finaltf", model_type=TINY, seed=0)
+
+
+def test_mesh_sharded_identical(cam_model):
+    """4-way data-mesh transfer eval == single-device, byte-identical (the
+    repeat-pad-then-slice idiom preserves per-row math)."""
+    module, variables = cam_model
+    ds = _SyntheticVideoDataset(n=6)
+    df_plain = retrieval_evaluation(
+        module, variables, "synthetic", "test", dataset=ds, frame_stride=4
+    )
+    df_mesh = retrieval_evaluation(
+        module, variables, "synthetic", "test", dataset=ds, frame_stride=4,
+        mesh=create_mesh(4, 1),
+    )
+    np.testing.assert_array_equal(df_plain.to_numpy(), df_mesh.to_numpy())
+
+
+def test_mesh_sharded_ragged_identical(cam_model):
+    """The ragged-caption path (per-caption targets + video->text any-hit)
+    also shards without drift."""
+    module, variables = cam_model
+    ds = _RaggedDataset(n=6)
+    df_plain = retrieval_evaluation(
+        module, variables, "synthetic", "test", dataset=ds, frame_stride=4
+    )
+    df_mesh = retrieval_evaluation(
+        module, variables, "synthetic", "test", dataset=ds, frame_stride=4,
+        mesh=create_mesh(4, 1),
+    )
+    np.testing.assert_array_equal(df_plain.to_numpy(), df_mesh.to_numpy())
+
+
+def test_two_host_probe_disjoint_and_identical(cam_model, monkeypatch):
+    """The multihost probe schedule: rank p encodes videos p::2 (disjoint,
+    covering), embeddings merge via the varlen allgather, and the final
+    metrics equal the single-host run exactly. The gather is faked by
+    concatenating the other rank's (independently computed) contribution in
+    process order — exactly what process_allgather produces."""
+    module, variables = cam_model
+    ds = _SyntheticVideoDataset(n=7, seed=2)
+
+    df_single = retrieval_evaluation(
+        module, variables, "synthetic", "test", dataset=ds, frame_stride=4
+    )
+
+    kw = dict(
+        frame_stride=4, first_frame_only=False, first_chunk_only=False,
+        branch_override=None, needs_comments=True, image_size=224,
+        nframes=8, mesh=None,
+    )
+    ids0, _, _ = _encode_local(module, variables, ds, range(0, 7, 2), **kw)
+    ids1, vids1, caps1 = _encode_local(module, variables, ds, range(1, 7, 2), **kw)
+
+    # disjoint decode, full coverage
+    assert set(ids0) | set(ids1) == set(range(7))
+    assert not set(ids0) & set(ids1)
+
+    flat1, capvid1 = _flatten_caps(np.asarray(ids1, np.int64), caps1)
+    host1 = iter(
+        [np.asarray(ids1, np.int64), np.stack(vids1), flat1, capvid1]
+    )
+
+    def fake_allgather(arr):
+        return np.concatenate([np.asarray(arr), next(host1)])
+
+    monkeypatch.setattr(re_mod, "_allgather_varlen", fake_allgather)
+    df_multi = retrieval_evaluation(
+        module, variables, "synthetic", "test", dataset=ds, frame_stride=4,
+        process_index=0, process_count=2,
+    )
+    np.testing.assert_array_equal(df_single.to_numpy(), df_multi.to_numpy())
+
+
+def test_two_host_ragged_identical(cam_model, monkeypatch):
+    """Same lockstep on ragged captions (per-video caption counts differ, so
+    the merge must keep captions attached to their videos)."""
+    module, variables = cam_model
+    ds = _RaggedDataset(n=5, seed=3)
+    df_single = retrieval_evaluation(
+        module, variables, "synthetic", "test", dataset=ds, frame_stride=4
+    )
+    kw = dict(
+        frame_stride=4, first_frame_only=False, first_chunk_only=False,
+        branch_override=None, needs_comments=True, image_size=224,
+        nframes=8, mesh=None,
+    )
+    ids1, vids1, caps1 = _encode_local(module, variables, ds, range(1, 5, 2), **kw)
+    flat1, capvid1 = _flatten_caps(np.asarray(ids1, np.int64), caps1)
+    host1 = iter(
+        [np.asarray(ids1, np.int64), np.stack(vids1), flat1, capvid1]
+    )
+    monkeypatch.setattr(
+        re_mod, "_allgather_varlen",
+        lambda arr: np.concatenate([np.asarray(arr), next(host1)]),
+    )
+    df_multi = retrieval_evaluation(
+        module, variables, "synthetic", "test", dataset=ds, frame_stride=4,
+        process_index=0, process_count=2,
+    )
+    np.testing.assert_array_equal(df_single.to_numpy(), df_multi.to_numpy())
+
+
+def test_locally_materializable_classification(cam_model):
+    """Host arrays and replicated device arrays are materializable; a
+    data-sharded (fsdp-like) leaf is not — it routes the multihost probe to
+    the collective schedule."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    assert _locally_materializable(np.zeros((4, 4)))
+    mesh = create_mesh(4, 1)
+    rep = jax.device_put(np.zeros((4, 4)), NamedSharding(mesh, P()))
+    assert _locally_materializable(rep)
+    # fully addressable single-process arrays are materializable even when
+    # sharded; the fsdp case (shards on OTHER hosts) cannot be constructed
+    # in a single-process test, so pin the predicate's two branches instead
+    sharded = jax.device_put(np.zeros((4, 4)), NamedSharding(mesh, P("data")))
+    assert _locally_materializable(sharded)  # single-process: addressable
+
+
+def test_transfer_eval_cli_n_devices(cam_model, monkeypatch):
+    """--n_devices on the transfer-eval CLI builds the mesh and matches the
+    single-device CLI run."""
+    re_cli = importlib.import_module("retrieval_evaluation")
+
+    orig_create = re_cli.create_model
+
+    def tiny_create(arch, **kw):
+        kw["model_type"] = TINY
+        kw["seed"] = 0
+        return orig_create(arch, **kw)
+
+    monkeypatch.setattr(re_cli, "create_model", tiny_create)
+    ds = _SyntheticVideoDataset(n=4, seed=5)
+    base = ["-c", "MSRVTT_videos", "-m", "pretrained_clip_finaltf",
+            "--frame_stride", "4"]
+    df1 = re_cli.main(base, dataset=ds)
+    df4 = re_cli.main(base + ["--n_devices", "4"], dataset=ds)
+    np.testing.assert_array_equal(df1.to_numpy(), df4.to_numpy())

@@ -39,6 +39,10 @@ def _make_probe(config):
     from vtc_tpu.evaluation import retrieval_evaluation
 
     def probe(trainer, branch_override=None):
+        # TPU-first probe: batches + ranking shard over the trained mesh
+        # (the state is already laid out there), and under --multihost each
+        # process decodes a disjoint strided video subset with one embedding
+        # allgather at the end (retrieval_eval handles both automatically)
         outdf = retrieval_evaluation(
             trainer.module,
             {"params": trainer.state.params,

@@ -1,6 +1,6 @@
 """Dataset-generic retrieval evaluation (MSRVTT / MSVD / K700 / Reddit /
 livebot) — the reference's ``evaluation/retrieval_evaluation.py:23-268``, also
-used as the trainer's per-epoch probe.
+used as the trainer's per-epoch probe (``trainer/trainer.py:152-182``).
 
 Per video: subsample frames at ``frame_stride``, split into 8-frame chunks
 (linspace-padding the tail, ``:174-199``), synthesize per-caption dummy or
@@ -11,10 +11,22 @@ compute bidirectional R@1/5/10.
 TPU discipline for the ragged shapes: chunk and caption counts are padded to
 power-of-two buckets with masks, so jit compiles a handful of shapes instead
 of one per video.
+
+Scale-out (beyond the reference, which is strictly single-device here):
+
+* ``mesh=...`` shards each video's chunk/caption batches over the mesh's
+  batch axes (the repeat-pad-then-slice idiom of ``evaluation/eval.py``) and
+  ranks with the query-sharded top-k kernel — the trained mesh does the
+  probe instead of idling while one device grinds.
+* Under multihost (``jax.process_count() > 1``) each process decodes and
+  encodes a DISJOINT strided slice of the video list and the embeddings are
+  allgathered once at the end — instead of every host redundantly evaluating
+  the full set (the round-4 behavior this replaces).
 """
 
 from __future__ import annotations
 
+import contextlib
 import logging
 from functools import partial
 from typing import Optional
@@ -25,7 +37,7 @@ import numpy as np
 import pandas as pd
 
 from ..data import tokenizer as tk
-from ..ops.retrieval import recall_at_k
+from ..ops.retrieval import recall_at_k, recall_at_k_sharded
 
 logger = logging.getLogger(__name__)
 
@@ -52,10 +64,18 @@ def _recall_df(vt_fracs, tv_fracs, dataset_name, split):
     return df
 
 
-def compute_recall(tensor_v, tensor_t, split="full-test", dataset_name="MSRVTT"):
-    """Bidirectional R@1/5/10 DataFrame (``retrieval_evaluation.py:23-47``)."""
-    vtr = [r for _, r in recall_at_k(tensor_v, tensor_t, RECALL_RANGE)]
-    tvr = [r for _, r in recall_at_k(tensor_t, tensor_v, RECALL_RANGE)]
+def compute_recall(tensor_v, tensor_t, split="full-test", dataset_name="MSRVTT",
+                   mesh=None):
+    """Bidirectional R@1/5/10 DataFrame (``retrieval_evaluation.py:23-47``).
+    With ``mesh``, both directions rank via the query-sharded kernel."""
+    if mesh is not None:
+        vtr = [r for _, r in recall_at_k_sharded(tensor_v, tensor_t,
+                                                 RECALL_RANGE, mesh)]
+        tvr = [r for _, r in recall_at_k_sharded(tensor_t, tensor_v,
+                                                 RECALL_RANGE, mesh)]
+    else:
+        vtr = [r for _, r in recall_at_k(tensor_v, tensor_t, RECALL_RANGE)]
+        tvr = [r for _, r in recall_at_k(tensor_t, tensor_v, RECALL_RANGE)]
     return _recall_df(tvr, vtr, dataset_name, split)
 
 
@@ -64,6 +84,62 @@ def _bucket(n: int, minimum: int = 1) -> int:
     while b < n:
         b *= 2
     return b
+
+
+def _n_batch_shards(mesh) -> int:
+    """Number of ways the leading batch axis splits on this mesh (the
+    ``data`` axis, times ``replica`` on a multi-slice mesh)."""
+    from ..parallel.mesh import batch_pspec
+
+    axes = batch_pspec(mesh)[0]
+    axes = axes if isinstance(axes, tuple) else (axes,)
+    n = 1
+    for a in axes:
+        n *= mesh.shape[a]
+    return n
+
+
+def _place_variables(variables, mesh):
+    """Lay caller-provided host variables out on the mesh (tp rules, like
+    ``evaluation/eval.py``). Variables already committed to devices — the
+    trainer's live (possibly fsdp-sharded) state — pass through untouched."""
+    leaves = jax.tree_util.tree_leaves(variables)
+    if leaves and isinstance(leaves[0], jax.Array) and getattr(
+        leaves[0], "committed", False
+    ):
+        return variables
+    from ..parallel.mesh import tree_shardings
+
+    return jax.device_put(variables, tree_shardings(variables, mesh))
+
+
+def _locally_materializable(leaf) -> bool:
+    """Whether this process can reconstruct the full value without a
+    collective: host arrays, addressable device arrays, and global arrays
+    that are fully replicated (every device holds the whole value — one
+    ``addressable_data(0)`` read is the full copy). fsdp- or cross-host
+    tp-sharded params are NOT (their shards live on other hosts)."""
+    if not isinstance(leaf, jax.Array):
+        return True
+    return leaf.is_fully_addressable or leaf.is_fully_replicated
+
+
+def _local_full(leaf):
+    """Full local copy of a fully-replicated global array (no transfer for
+    already-addressable leaves)."""
+    if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+        return leaf.addressable_data(0)
+    return leaf
+
+
+def _local_mesh():
+    """A data-only mesh over THIS process's devices — the per-host encode
+    mesh for the multihost disjoint-split path."""
+    from jax.sharding import Mesh
+
+    from ..parallel.mesh import DATA_AXIS
+
+    return Mesh(np.asarray(jax.local_devices()), (DATA_AXIS,))
 
 
 def _ensure_preprocessed(chunks: np.ndarray, image_size: int = 224) -> np.ndarray:
@@ -128,62 +204,55 @@ def make_eval_forward(module, variables, branch_override: Optional[str]):
     )
 
 
-def retrieval_evaluation(
+def _encode_local(
     module,
     variables,
-    datasetname: str,
-    split: str,
-    out_csv: Optional[str] = None,
-    frame_stride: int = 16,
-    first_frame_only: bool = False,
-    first_chunk_only: bool = False,
-    branch_override: Optional[str] = None,
-    needs_comments: Optional[bool] = None,
-    dataset=None,
-    data_roots: Optional[dict] = None,
-    image_size: int = 224,
-    nframes: int = NFRAMES,
+    dataset,
+    indices,
+    *,
+    frame_stride,
+    first_frame_only,
+    first_chunk_only,
+    branch_override,
+    needs_comments,
+    image_size,
+    nframes,
+    mesh=None,
 ):
-    """Evaluate a model on a transfer dataset; returns the recall DataFrame."""
-    from .. import data as module_data
-
-    data_roots = data_roots or {}
-    if dataset is None:
-        if datasetname == "MSRVTT_videos":
-            dataset = module_data.VideoDatasetMSRVTT(
-                train=False, split=split, **data_roots.get("MSRVTT", {})
-            )
-        elif datasetname == "MSVD_videos":
-            dataset = module_data.VideoDatasetMSVD(
-                train=False, split=split, **data_roots.get("MSVD", {})
-            )
-        elif datasetname == "K700_videos":
-            dataset = module_data.VideoDatasetK700Comments(
-                train=False, split=split, **data_roots.get("K700", {})
-            )
-        elif datasetname == "Reddit_videos":
-            dataset = module_data.VideoDatasetReddit(
-                train=False, split=split, **data_roots.get("Reddit", {})
-            )
-        elif datasetname == "livebot":
-            dataset = module_data.VideoDatasetLivebot(
-                train=False, split=split, **data_roots.get("livebot", {})
-            )
-        else:
-            raise ValueError("Unknown dataset")
-
-    if needs_comments is None:
-        needs_comments = hasattr(module, "branch_to_adapt_val")
+    """Encode the videos at ``indices``: returns (ids, video_means [nv, D],
+    caption_embs list of [ncap_i, D]) — the per-process contribution under
+    multihost, the whole set otherwise."""
+    from ..ops.retrieval import _fetch, _mesh_spans_processes, _put_on_mesh
 
     fwd = make_eval_forward(module, variables, branch_override)
-
-    video_embs = []
-    caption_embs = []
-    logger.info("Computing joint embeddings")
-
     empty_comment = tk.tokenize([""] * N_COMMENTS)
 
-    for idx in range(len(dataset)):
+    n_shard = 1
+    bshard = rep = None
+    spans = False
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import batch_pspec
+
+        n_shard = _n_batch_shards(mesh)
+        bshard = NamedSharding(mesh, batch_pspec(mesh))
+        rep = NamedSharding(mesh, P())
+        # pod mesh (collective multihost path): every process calls with
+        # identical host arrays; inputs enter via make_array_from_callback
+        spans = _mesh_spans_processes(mesh)
+
+    def put_batch(x):
+        return jnp.asarray(x) if mesh is None else _put_on_mesh(x, bshard, spans)
+
+    def put_rep(x):
+        return jnp.asarray(x) if mesh is None else _put_on_mesh(x, rep, spans)
+
+    ids = []
+    video_means = []
+    caption_embs = []
+    mesh_ctx = mesh if mesh is not None else contextlib.nullcontext()
+    for idx in indices:
         item = dataset[idx]
         if len(item) == 3:
             frames, captions, _ = item
@@ -223,9 +292,10 @@ def retrieval_evaluation(
         else:
             comm = None
 
-        # bucket + mask for stable jit shapes
-        cb = _bucket(nchunk)
-        kb = _bucket(ncap)
+        # bucket + mask for stable jit shapes; on a mesh the bucket floor is
+        # the batch-shard count, so padded batches always divide evenly
+        cb = _bucket(nchunk, minimum=n_shard)
+        kb = _bucket(ncap, minimum=n_shard)
         chunks_p = np.concatenate(
             [chunks, np.repeat(chunks[-1:], cb - nchunk, axis=0)]
         ) if cb > nchunk else chunks
@@ -233,53 +303,213 @@ def retrieval_evaluation(
             [captions, np.repeat(captions[-1:], kb - ncap, axis=0)]
         ) if kb > ncap else captions
 
-        fv, ft = fwd(
-            jnp.asarray(chunks_p), jnp.asarray(captions_p),
-            jnp.asarray(comm) if comm is not None else jnp.zeros(
-                (1, N_COMMENTS, 77), jnp.int32
-            ),
-            needs_comments=needs_comments,
-        )
-        video_embs.append(np.asarray(fv)[:nchunk])
-        caption_embs.append(np.asarray(ft)[:ncap])
+        with mesh_ctx:
+            fv, ft = fwd(
+                put_batch(np.asarray(chunks_p)),
+                put_batch(np.asarray(captions_p)),
+                put_rep(np.asarray(comm)) if comm is not None else put_rep(
+                    np.zeros((1, N_COMMENTS, 77), np.int32)
+                ),
+                needs_comments=needs_comments,
+            )
+        ids.append(int(idx))
+        video_means.append(_fetch(fv)[:nchunk].mean(axis=0))
+        caption_embs.append(_fetch(ft)[:ncap])
+    return ids, video_means, caption_embs
 
-    if not video_embs:
-        # Every item was skipped (frames is None on decode failure) or the
-        # split is empty — fail with the real condition instead of an
-        # opaque max()/np.stack error below.
+
+def _flatten_caps(ids, caption_embs):
+    """Concatenate per-video caption embeddings; tag each row with its
+    video's dataset index."""
+    flat_caps = np.concatenate(caption_embs)
+    cap_vid = np.concatenate(
+        [
+            np.full(c.shape[0], vid, np.int64)
+            for vid, c in zip(ids, caption_embs)
+        ]
+    )
+    return flat_caps, cap_vid
+
+
+def _allgather_varlen(arr: np.ndarray) -> np.ndarray:
+    """Concatenate per-process variable-length (leading-axis) arrays across
+    all processes, in process order. Two tiny collectives: counts, then the
+    max-padded payload (``multihost_utils.process_allgather`` needs equal
+    shapes on every host)."""
+    from jax.experimental import multihost_utils as mhu
+
+    arr = np.asarray(arr)
+    counts = np.asarray(mhu.process_allgather(np.asarray(arr.shape[0], np.int64)))
+    m = int(counts.max())
+    if arr.shape[0] < m:
+        pad = np.zeros((m - arr.shape[0],) + arr.shape[1:], arr.dtype)
+        arr = np.concatenate([arr, pad])
+    gathered = np.asarray(mhu.process_allgather(arr))  # [P, m, ...]
+    return np.concatenate([gathered[p, : int(c)] for p, c in enumerate(counts)])
+
+
+def retrieval_evaluation(
+    module,
+    variables,
+    datasetname: str,
+    split: str,
+    out_csv: Optional[str] = None,
+    frame_stride: int = 16,
+    first_frame_only: bool = False,
+    first_chunk_only: bool = False,
+    branch_override: Optional[str] = None,
+    needs_comments: Optional[bool] = None,
+    dataset=None,
+    data_roots: Optional[dict] = None,
+    image_size: int = 224,
+    nframes: int = NFRAMES,
+    mesh=None,
+    process_index: Optional[int] = None,
+    process_count: Optional[int] = None,
+):
+    """Evaluate a model on a transfer dataset; returns the recall DataFrame.
+
+    ``mesh`` shards per-video batches and the final ranking over the mesh's
+    batch axes. Under multihost each process evaluates the strided video
+    subset ``process_index::process_count`` and embeddings are allgathered
+    (``process_index``/``process_count`` default from the JAX runtime; the
+    explicit arguments exist for tests)."""
+    from .. import data as module_data
+
+    data_roots = data_roots or {}
+    if dataset is None:
+        if datasetname == "MSRVTT_videos":
+            dataset = module_data.VideoDatasetMSRVTT(
+                train=False, split=split, **data_roots.get("MSRVTT", {})
+            )
+        elif datasetname == "MSVD_videos":
+            dataset = module_data.VideoDatasetMSVD(
+                train=False, split=split, **data_roots.get("MSVD", {})
+            )
+        elif datasetname == "K700_videos":
+            dataset = module_data.VideoDatasetK700Comments(
+                train=False, split=split, **data_roots.get("K700", {})
+            )
+        elif datasetname == "Reddit_videos":
+            dataset = module_data.VideoDatasetReddit(
+                train=False, split=split, **data_roots.get("Reddit", {})
+            )
+        elif datasetname == "livebot":
+            dataset = module_data.VideoDatasetLivebot(
+                train=False, split=split, **data_roots.get("livebot", {})
+            )
+        else:
+            raise ValueError("Unknown dataset")
+
+    if needs_comments is None:
+        needs_comments = hasattr(module, "branch_to_adapt_val")
+
+    pidx = jax.process_index() if process_index is None else int(process_index)
+    pcount = jax.process_count() if process_count is None else int(process_count)
+
+    # multihost: by default each process encodes the strided DISJOINT video
+    # subset pidx::pcount on its own local devices and the embeddings are
+    # allgathered once — the params must be reconstructable per host
+    # (replicated / addressable). fsdp- or cross-host-tp-sharded params
+    # can't be materialized locally, so that case falls back to the
+    # COLLECTIVE schedule: every process walks the full list in lockstep
+    # feeding identical batches into the global mesh (redundant decode, but
+    # the compute is sharded pod-wide and the sharded state is used as-is).
+    multihost = pcount > 1
+    collective = multihost and mesh is not None and not all(
+        _locally_materializable(l) for l in jax.tree_util.tree_leaves(variables)
+    )
+    enc_mesh = mesh
+    if collective:
+        indices = range(len(dataset))
+        logger.info(
+            "multihost transfer eval: sharded state not host-materializable;"
+            " using the collective schedule (all hosts, full video list)"
+        )
+    else:
+        indices = range(pidx, len(dataset), pcount)
+        if multihost and mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            enc_mesh = _local_mesh()
+            variables = jax.device_put(
+                jax.tree_util.tree_map(_local_full, variables),
+                NamedSharding(enc_mesh, P()),
+            )
+
+    if enc_mesh is not None:
+        variables = _place_variables(variables, enc_mesh)
+
+    logger.info("Computing joint embeddings")
+    ids, video_means, caption_embs = _encode_local(
+        module, variables, dataset, indices,
+        frame_stride=frame_stride,
+        first_frame_only=first_frame_only,
+        first_chunk_only=first_chunk_only,
+        branch_override=branch_override,
+        needs_comments=needs_comments,
+        image_size=image_size,
+        nframes=nframes,
+        mesh=enc_mesh,
+    )
+
+    if not ids:
+        # Every local item was skipped (frames is None on decode failure) or
+        # the split is empty — fail with the real condition instead of an
+        # opaque np.stack error below. Under multihost a host with zero
+        # surviving videos cannot join the fixed-shape allgather either, so
+        # the same loud failure applies (use fewer hosts than videos).
         raise RuntimeError(
-            f"retrieval evaluation produced no embeddings: all "
-            f"{len(dataset)} items of {datasetname}/{split} failed to "
-            f"decode or the split is empty (check the data root paths)"
+            f"retrieval evaluation produced no embeddings on process "
+            f"{pidx}/{pcount}: all {len(list(indices))} local items of "
+            f"{datasetname}/{split} failed to decode or the split is empty "
+            f"(check the data root paths)"
         )
 
-    # mean over chunk embeddings per video
-    max_len = max(c.shape[0] for c in caption_embs)
-    video_tensor = np.stack([v.mean(axis=0) for v in video_embs])
+    ids = np.asarray(ids, np.int64)
+    video_tensor = np.stack(video_means)
+    flat_caps, cap_vid = _flatten_caps(ids, caption_embs)
 
-    # for recall, use the first (real) caption per video when ragged; the
-    # reference feeds the full padded tensor to FAISS which only works for
-    # 1-caption splits (documented defect) — here every real caption counts:
-    # query = each caption, target = its video
-    flat_caps = []
-    flat_targets = []
-    for vi, c in enumerate(caption_embs):
-        flat_caps.append(c)
-        flat_targets.extend([vi] * c.shape[0])
-    flat_caps = np.concatenate(flat_caps)
-    flat_targets = np.asarray(flat_targets)
+    if multihost and not collective:
+        ids = _allgather_varlen(ids)
+        video_tensor = _allgather_varlen(video_tensor)
+        flat_caps = _allgather_varlen(flat_caps)
+        cap_vid = _allgather_varlen(cap_vid)
+
+    # canonical global order: videos by dataset index, captions following
+    # their video — host-count-invariant, and in the 1-caption case caption
+    # row i is exactly video row i (what compute_recall assumes)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    video_tensor = video_tensor[order]
+    cap_order = np.argsort(cap_vid, kind="stable")
+    flat_caps = flat_caps[cap_order]
+    cap_vid = cap_vid[cap_order]
+    row_of = {int(v): i for i, v in enumerate(ids)}
+    flat_targets = np.asarray([row_of[int(v)] for v in cap_vid], np.int64)
+
+    max_len = int(np.bincount(flat_targets, minlength=len(ids)).max())
 
     if max_len == 1:
         outdf = compute_recall(
             video_tensor, flat_caps, split=split,
-            dataset_name=datasetname,
+            dataset_name=datasetname, mesh=enc_mesh,
         )
     else:
-        tvr = [
-            r for _, r in recall_at_k(
-                video_tensor, flat_caps, RECALL_RANGE, targets=flat_targets
-            )
-        ]
+        # text->video: every real caption is a query, target = its video
+        if enc_mesh is not None:
+            tvr = [
+                r for _, r in recall_at_k_sharded(
+                    video_tensor, flat_caps, RECALL_RANGE, enc_mesh,
+                    targets=flat_targets,
+                )
+            ]
+        else:
+            tvr = [
+                r for _, r in recall_at_k(
+                    video_tensor, flat_caps, RECALL_RANGE, targets=flat_targets
+                )
+            ]
         # video->text: rank captions, a video hits if any of its captions is
         # retrieved in top-k
         vt_hits = _vt_recall(

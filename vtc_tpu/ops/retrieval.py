@@ -115,6 +115,32 @@ def retrieval_metrics(features_a, features_b, k_vals=(1, 5, 10), targets=None):
 # --------------------------------------------------------------------------
 
 
+def _mesh_spans_processes(mesh) -> bool:
+    """True when the mesh includes devices of other processes (a pod mesh):
+    host arrays then enter via ``make_array_from_callback`` (each process
+    supplies its addressable shards from an identical host copy) and global
+    outputs leave via ``process_allgather``."""
+    me = jax.process_index()
+    return any(d.process_index != me for d in mesh.devices.flat)
+
+
+def _put_on_mesh(x, sharding, spans: bool):
+    x = np.asarray(x)
+    if spans:
+        return jax.make_array_from_callback(
+            x.shape, sharding, lambda idx: x[idx]
+        )
+    return jax.device_put(x, sharding)
+
+
+def _fetch(x) -> np.ndarray:
+    if hasattr(x, "is_fully_addressable") and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)
+
+
 def recall_hits_sharded(gallery, queries, targets, max_k: int, mesh, axis: str = "data"):
     """Top-k hit matrix with the query axis sharded over ``axis`` of ``mesh``.
 
@@ -122,29 +148,33 @@ def recall_hits_sharded(gallery, queries, targets, max_k: int, mesh, axis: str =
     ICI); per-shard top-k runs locally and results concatenate along the
     query axis. This is the eval path that replaces FAISS at scale: the
     gallery matmul rides each chip's MXU, queries never leave their host
-    shard.
+    shard. On a multi-process (pod) mesh every host must call with the SAME
+    arrays; the hit matrix comes back allgathered to every host.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     n = queries.shape[0]
     n_dev = mesh.shape[axis]
     pad = (-n) % n_dev
+    queries = np.asarray(queries)
+    targets = np.asarray(targets)
     if pad:
-        queries = jnp.concatenate([queries, jnp.full((pad,) + queries.shape[1:], -jnp.inf, queries.dtype)])
-        targets = jnp.concatenate([targets, -jnp.ones((pad,), targets.dtype)])
+        queries = np.concatenate([queries, np.full((pad,) + queries.shape[1:], -np.inf, queries.dtype)])
+        targets = np.concatenate([targets, -np.ones((pad,), targets.dtype)])
 
+    spans = _mesh_spans_processes(mesh)
     qsharding = NamedSharding(mesh, P(axis))
     rep = NamedSharding(mesh, P())
-    queries = jax.device_put(queries, qsharding)
-    gallery = jax.device_put(jnp.asarray(gallery), rep)
-    targets = jax.device_put(targets, qsharding)
+    queries = _put_on_mesh(queries, qsharding, spans)
+    gallery = _put_on_mesh(gallery, rep, spans)
+    targets = _put_on_mesh(targets, qsharding, spans)
 
     hits = jax.jit(
         _topk_hits,
         static_argnames=("max_k",),
         out_shardings=qsharding,
     )(gallery, queries, targets, max_k)
-    return np.asarray(hits)[:n]
+    return _fetch(hits)[:n]
 
 
 def recall_at_k_sharded(features_a, features_b, k_vals, mesh, axis="data", targets=None):
