@@ -166,3 +166,60 @@ def test_device_flag_sets_mesh_device_count(tmp_path):
     assert parse(
         ["-c", str(cfg), "-d", "4", "--n_devices", "2"]
     )["n_devices"] == 2
+
+
+def test_multihost_run_dir_rank_coordinated(tmp_path, monkeypatch):
+    """Under --multihost, run-dir creation is deferred and rank-coordinated
+    (round-5 item 2): rank 0 picks the id and is the only writer; every rank
+    resolves the SAME save_dir, so there is no mkdir race and orbax's
+    collective save has one directory pod-wide."""
+    import jax
+    from jax.experimental import multihost_utils
+
+    import vtc_tpu.config.parse_config as pc
+    from vtc_tpu.utils import read_json
+
+    cfg_path = _write_min_config(tmp_path, name="mh")
+    cfg = read_json(cfg_path)
+    cfg["multihost"] = 1
+
+    # deferred: no dir yet, save_dir refuses loudly
+    c0 = ConfigParser(dict(cfg))
+    assert c0._run_dir is None
+    with pytest.raises(RuntimeError, match="finalize_run_dir"):
+        c0.save_dir
+
+    # fake the 2-host broadcast: rank 0 sends, rank 1 receives rank 0's id
+    sent = {}
+
+    def fake_broadcast(s, length=64):
+        if s is not None:
+            sent["id"] = s
+        return sent["id"]
+
+    monkeypatch.setattr(pc, "_broadcast_str", fake_broadcast)
+    monkeypatch.setattr(
+        multihost_utils, "sync_global_devices", lambda *a, **k: None
+    )
+
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    d0 = c0.finalize_run_dir()
+    assert d0.exists() and (d0 / "config.json").exists()
+
+    # rank 1 (same or different minute — irrelevant: it never scans the
+    # filesystem) resolves the identical dir and writes nothing
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    c1 = ConfigParser(dict(cfg))
+    d1 = c1.finalize_run_dir()
+    assert d1 == d0
+    exp_dir = d0.parent
+    assert len(list(exp_dir.iterdir())) == 1  # no second dir, no race
+
+    # repeated finalize is a no-op returning the same dir
+    assert c0.finalize_run_dir() == d0
+
+
+def test_broadcast_str_single_process_roundtrip():
+    import vtc_tpu.config.parse_config as pc
+
+    assert pc._broadcast_str("007_Aug19_12:34") == "007_Aug19_12:34"

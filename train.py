@@ -51,6 +51,7 @@ def _make_probe(config):
             "full-val",
             branch_override=branch_override,
             data_roots={"MSRVTT": {"root": root}},
+            mesh=trainer.mesh,
         )
         r10 = outdf.loc["R@10"].tolist()
         return {"msrvtt_val_vtt": r10[0], "msrvtt_val_ttv": r10[1]}
@@ -83,6 +84,10 @@ def main(config: ConfigParser):
             xb._clear_backends()
             xb.get_backend.cache_clear()
             jax.distributed.initialize()
+        # rank-coordinated run dir: rank 0 picks the id, broadcasts it, and
+        # is the only writer of config.json/logs; all ranks resolve the SAME
+        # save_dir (orbax collective saves need one directory pod-wide)
+        config.finalize_run_dir()
 
     seed_value = int(config.get("random_seed_value", 1023))
     os.environ["PYTHONHASHSEED"] = str(seed_value)

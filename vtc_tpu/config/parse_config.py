@@ -68,6 +68,22 @@ def _override(cfg: dict, path: str, value) -> None:
     node[leaf] = value
 
 
+def _broadcast_str(s: Optional[str], length: int = 64) -> str:
+    """Broadcast a short string from process 0 to every process (fixed-size
+    uint8 buffer through ``multihost_utils.broadcast_one_to_all``; non-zero
+    ranks pass ``None``). Single-process: returns ``s`` unchanged."""
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    buf = np.zeros(length, np.uint8)
+    if s is not None:
+        raw = s.encode()
+        assert len(raw) <= length, (s, length)
+        buf[: len(raw)] = np.frombuffer(raw, np.uint8)
+    out = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+    return bytes(out[out != 0]).decode()
+
+
 class ConfigParser:
     """Parsed experiment config + run directory + reflective construction."""
 
@@ -80,6 +96,16 @@ class ConfigParser:
         self.resume = resume
         self.log_levels = dict(enumerate(_LOG_LEVELS))
 
+        if bool(config.get("multihost")) and run_id is None:
+            # multi-controller run: every process independently picking a
+            # wall-clock run id races the mkdir (same minute) or — worse —
+            # resolves DIFFERENT save_dirs (minute boundary), deadlocking
+            # orbax's collective save across directories. Defer: train.py
+            # calls finalize_run_dir() after jax.distributed.initialize(),
+            # where rank 0 picks the id and broadcasts it.
+            self._run_dir = None
+            return
+
         exp_dir = Path(config["trainer"]["save_dir"]) / "models" / config["name"]
         if run_id is None:
             run_id = _next_run_id(exp_dir)
@@ -90,6 +116,34 @@ class ConfigParser:
 
         write_json(config, run_dir / "config.json")
         setup_logging(run_dir)
+
+    def finalize_run_dir(self) -> Path:
+        """Rank-coordinated run-dir creation for ``--multihost`` (call after
+        ``jax.distributed.initialize()``): rank 0 computes the next run id on
+        the shared filesystem and broadcasts it; ONLY rank 0 creates the
+        directory and writes ``config.json``/log files (the fsdp checkpoint
+        contract already requires ``save_dir`` to be host-shared,
+        ``trainer.py:382-392``). A device barrier afterwards guarantees every
+        rank sees the directory before the trainer touches it. No-op when the
+        run dir already exists (single-host path or repeated call)."""
+        if self._run_dir is not None:
+            return self._run_dir
+        import jax
+        from jax.experimental import multihost_utils
+
+        exp_dir = Path(
+            self._config["trainer"]["save_dir"]
+        ) / "models" / self._config["name"]
+        rank0 = jax.process_index() == 0
+        run_id = _broadcast_str(_next_run_id(exp_dir) if rank0 else None)
+        run_dir = exp_dir / run_id
+        if rank0:
+            run_dir.mkdir(parents=True, exist_ok=False)
+            write_json(self._config, run_dir / "config.json")
+            setup_logging(run_dir)
+        multihost_utils.sync_global_devices("vtc_tpu:run_dir")
+        self._run_dir = run_dir
+        return run_dir
 
     @classmethod
     def from_args(cls, args, options=()):
@@ -175,8 +229,14 @@ class ConfigParser:
 
     @property
     def save_dir(self) -> Path:
+        if self._run_dir is None:
+            raise RuntimeError(
+                "run dir not finalized: a --multihost config defers run-dir "
+                "creation until after jax.distributed.initialize(); call "
+                "config.finalize_run_dir() first (train.py does)"
+            )
         return self._run_dir
 
     @property
     def log_dir(self) -> Path:
-        return self._run_dir
+        return self.save_dir
