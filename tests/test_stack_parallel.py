@@ -179,3 +179,63 @@ def test_flagship_video_model_sequence_sharded_exact():
     set_stack_parallel("seq", create_sp_mesh(2, 2))
     got = module.apply(variables, vis, title, comments)[2]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+@pytest.mark.slow
+def test_sharded_steps_no_involuntary_remat(capfd):
+    """Dryrun-tail hygiene (round-5 item 3): with batch-SHARDED inputs, the
+    sp2 train step and the accumulated dp step must not trip GSPMD's
+    replicate-then-partition fallback ("Involuntary full rematerialization").
+    Round 4's dryrun tail carried exactly this warning for the s32 token
+    input (op data[1]): the sp shard_map's (data, seq) layout back-propagated
+    through the embedding gather onto the raw tokens. stack.py now pins the
+    pre-shard_map activations; the accumulation split is strided + sharding-
+    constrained. capfd sees the C++ absl stderr, where the SPMD partitioner
+    prints the warning (verified against the round-4 reproduction)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vtc_tpu.ops.losses import clip_loss
+    from vtc_tpu.parallel.mesh import create_mesh, tree_shardings
+    from vtc_tpu.training.optim import build_optimizer
+    from vtc_tpu.training.trainer import TrainState, make_step_fns
+
+    module, variables = create_model(
+        "PretrainedCLIP_TimeSformer_finaltf", model_type=TINY, nframes=4,
+        seed=0,
+    )
+    tx = build_optimizer(
+        variables["params"], {"type": "Adam", "args": {"lr": 1e-3}},
+        None, steps_per_epoch=4,
+    )
+    rng = np.random.default_rng(0)
+    vis_h = rng.normal(size=(8, 4, 3, 32, 32)).astype(np.float32)
+    title_h = rng.integers(1, 49405, size=(8, 77)).astype(np.int32)
+    comments_h = rng.integers(1, 49405, size=(8, 3, 77)).astype(np.int32)
+
+    def run(mesh, **step_kw):
+        step, _ = make_step_fns(module, clip_loss, tx, donate=False, **step_kw)
+        p = jax.device_put(
+            variables["params"], tree_shardings(variables["params"], mesh)
+        )
+        st = TrainState(
+            step=jnp.zeros((), jnp.int32), params=p, opt_state=tx.init(p),
+            batch_stats=variables.get("batch_stats", {}),
+        )
+        ds = NamedSharding(mesh, P("data"))
+        b = tuple(jax.device_put(a, ds) for a in (vis_h, title_h, comments_h))
+        with mesh:
+            _, loss, _ = step(st, b, {}, jax.random.PRNGKey(0))
+            return float(loss)
+
+    capfd.readouterr()  # drain anything earlier
+    sp_mesh = create_sp_mesh(4, 2)
+    set_stack_parallel("seq", sp_mesh)
+    sp_loss = run(sp_mesh)
+    set_stack_parallel(None)
+
+    dp_mesh = create_mesh(4, 2)
+    accum_loss = run(dp_mesh, accum_steps=2, mesh=dp_mesh)
+
+    err = capfd.readouterr().err
+    assert "Involuntary full rematerialization" not in err
+    assert np.isfinite(sp_loss) and np.isfinite(accum_loss)

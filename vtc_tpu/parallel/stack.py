@@ -130,6 +130,19 @@ def transformer_stack_override(tf_module, x, mask):
     from .sequence import SEQ_AXIS, pad_for_sp, sp_transformer
 
     xp, maskp, orig_len = pad_for_sp(x, mask, mesh.shape[SEQ_AXIS])
+    # Pin the pre-shard_map activations to batch-only sharding: without the
+    # constraint GSPMD back-propagates the shard_map's (data, seq) layout
+    # through the embedding gather onto the raw TOKEN arrays and picks a
+    # data-replicated, seq-sharded layout for them — reachable only by
+    # replicate-then-partition ("Involuntary full rematerialization", the
+    # round-4 dryrun tail). Pinned here, the (data,)->(data, seq) transition
+    # happens at shard_map entry, a local slice.
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    xp = jax.lax.with_sharding_constraint(
+        xp, NamedSharding(mesh, P(batch_axis, None, None))
+    )
     out = sp_transformer(
         stacked, xp, maskp,
         mesh=mesh, heads=tf_module.heads, batch_axis=batch_axis,
