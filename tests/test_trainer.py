@@ -1114,3 +1114,45 @@ def test_resume_with_changed_lr_does_not_restore_optimizer(tmp_path):
         np.asarray(leaf).any()
         for leaf in jax.tree_util.tree_leaves(t2.state.opt_state.mu)
     )
+
+
+def test_global_truncate_tokens_multihost_lockstep(monkeypatch):
+    """EOT buckets stay ACTIVE under multihost (round-5 item 4): hosts with
+    different local max-EOT positions allgather one int32 and all pick the
+    bucket of the GLOBAL max — identical traced shapes, lever retained
+    (round 4 disabled truncation wholesale on pods)."""
+    from jax.experimental import multihost_utils
+
+    from vtc_tpu.data.tokenizer import synthetic_tokens
+    from vtc_tpu.training.trainer import global_truncate_tokens
+
+    imgs = np.zeros((4, 3, 8, 8), np.float32)
+    short = synthetic_tokens((4,), ntoks=77, n_real=5)    # need = 7
+    longer = synthetic_tokens((4,), ntoks=77, n_real=40)  # need = 42
+
+    gathered = []
+
+    def fake_allgather(x, **kw):
+        gathered.append(int(np.asarray(x)))
+        return np.array([7, 42], np.int32)
+
+    monkeypatch.setattr(multihost_utils, "process_allgather", fake_allgather)
+
+    out0 = global_truncate_tokens([imgs, short], True)
+    out1 = global_truncate_tokens([imgs, longer], True)
+    # both hosts land on the bucket covering the GLOBAL max (42 -> 48)
+    assert out0[1].shape[-1] == 48
+    assert out1[1].shape[-1] == 48
+    assert out0[1].shape[-1] < 77  # the lever is genuinely active
+    assert gathered == [7, 42]    # each host contributed its local need
+    # non-token members pass through untouched
+    assert out0[0].shape == imgs.shape
+
+    # single-host: local bucket, no collective
+    gathered.clear()
+    assert global_truncate_tokens([imgs, short], False)[1].shape[-1] == 16
+    assert gathered == []
+
+    # a batch with no token arrays never reaches the collective
+    assert global_truncate_tokens([imgs], True)[0].shape == imgs.shape
+    assert gathered == []

@@ -270,7 +270,28 @@ def tokenize_max_len(
     return result
 
 
-def truncate_batch_tokens(arrays, buckets=(16, 32, 48, 64, 77)):
+def _token_array_indices(arrays):
+    return [
+        i for i, a in enumerate(arrays)
+        if hasattr(a, "dtype") and np.issubdtype(np.asarray(a).dtype, np.integer)
+        and a.ndim >= 1 and a.shape[-1] == CONTEXT_LENGTH
+    ]
+
+
+def batch_token_need(arrays):
+    """Tokens needed to cover every EOT position across all CLIP token
+    tensors in ``arrays`` (1 + max EOT index), or ``None`` when the batch
+    carries no token arrays. This is the scalar a multihost trainer
+    allgathers so every controller picks the SAME truncation bucket."""
+    token_idx = _token_array_indices(arrays)
+    if not token_idx:
+        return None
+    return 1 + max(
+        int(np.asarray(arrays[i]).argmax(axis=-1).max()) for i in token_idx
+    )
+
+
+def truncate_batch_tokens(arrays, buckets=(16, 32, 48, 64, 77), need=None):
     """Apply EOT-bucket truncation jointly to every token array in a batch.
 
     ``arrays`` is a flat sequence; members that look like CLIP token tensors
@@ -279,17 +300,16 @@ def truncate_batch_tokens(arrays, buckets=(16, 32, 48, 64, 77)):
     step compiles at most ``len(buckets)`` variants instead of one per
     array-bucket combination. Other members pass through untouched.
     Exactness-preserving for the causally-masked, EOT-pooled text tower.
+
+    ``need`` overrides the locally computed coverage (the multihost trainer
+    passes the allgathered GLOBAL max so bucket shapes stay lockstep across
+    controllers).
     """
-    token_idx = [
-        i for i, a in enumerate(arrays)
-        if hasattr(a, "dtype") and np.issubdtype(np.asarray(a).dtype, np.integer)
-        and a.ndim >= 1 and a.shape[-1] == CONTEXT_LENGTH
-    ]
+    token_idx = _token_array_indices(arrays)
     if not token_idx:
         return list(arrays)
-    need = 1 + max(
-        int(np.asarray(arrays[i]).argmax(axis=-1).max()) for i in token_idx
-    )
+    if need is None:
+        need = batch_token_need(arrays)
     bucket = next((b for b in buckets if need <= b), CONTEXT_LENGTH)
     out = list(arrays)
     for i in token_idx:

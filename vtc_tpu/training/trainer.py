@@ -55,6 +55,31 @@ class TrainState(flax.struct.PyTreeNode):
     batch_stats: Any
 
 
+def global_truncate_tokens(data, multihost: bool):
+    """EOT-bucket truncation with host-independent shapes.
+
+    Single-host: bucket from the local batch's max EOT (the measured
+    2.6x-eval/+44%-train text lever, PERFORMANCE.md). Multihost: every
+    process sees a different slice, so a local-max bucket would diverge
+    across controllers (different traced shapes -> crash/deadlock at the
+    first collective). Instead allgather ONE int32 — the local coverage —
+    and bucket on the global max, so all controllers trace identical shapes
+    and the lever survives pod runs (round 4 disabled it wholesale there)."""
+    from ..data.tokenizer import batch_token_need, truncate_batch_tokens
+
+    if not multihost:
+        return truncate_batch_tokens(data)
+    need = batch_token_need(data)
+    if need is None:
+        return list(data)
+    from jax.experimental import multihost_utils
+
+    global_need = int(
+        np.max(multihost_utils.process_allgather(np.asarray(need, np.int32)))
+    )
+    return truncate_batch_tokens(data, need=global_need)
+
+
 def _flatten_data(data):
     """Flatten one level of tuple nesting (the audio-with-comments case,
     ``dataset_loaders.py:1039``)."""
@@ -83,7 +108,8 @@ def _logit_scale(params):
 
 
 def make_step_fns(module, criterion, tx, donate: bool = True,
-                  aux_loss_weight: float = 0.01, accum_steps: int = 1):
+                  aux_loss_weight: float = 0.01, accum_steps: int = 1,
+                  mesh=None):
     """Build (train_step, eval_step) for a model module.
 
     ``aux_loss_weight`` scales any auxiliary losses modules sow into the
@@ -107,12 +133,56 @@ def make_step_fns(module, criterion, tx, donate: bool = True,
     microbatch statistics would change semantics; raised at trace time).
     MoE aux losses become the mean of per-microbatch load-balance losses —
     the standard microbatched-Switch formulation, deliberately not the
-    full-batch balance. Per-sample PRNG streams fold per microbatch."""
+    full-batch balance. Per-sample PRNG streams fold per microbatch.
+
+    ``mesh`` (the training mesh, when sharded) lets the accumulation split
+    carry explicit sharding constraints so the microbatch reshape never
+    forces a GSPMD reshard — see ``_split_microbatches``."""
     import inspect
 
     call_params = inspect.signature(type(module).__call__).parameters
     has_train_kwarg = "train" in call_params
     has_branch_kwarg = "branch_override" in call_params
+
+    _batch_axes = None
+    if mesh is not None:
+        from ..parallel.mesh import batch_pspec
+
+        _batch_axes = batch_pspec(mesh)[0]
+
+    def _constrain(x, spec):
+        if mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*spec)))
+
+    def _split_microbatches(x):
+        """[B, ...] -> [k, B/k, ...] microbatches WITHOUT resharding.
+
+        Strided assignment — sample ``j*k + i`` goes to microbatch ``i``,
+        row ``j`` — keeps each device's contiguous batch block intact under
+        the ``[B/k, k]`` reshape, so both the reshape and the transpose are
+        local. The contiguous ``[k, B/k]`` split used before round 5 divided
+        the SHARDED axis itself, which GSPMD can only realize by fully
+        replicating the tensor ("Involuntary full rematerialization", the
+        round-4 dryrun warning) — on a real pod that replicates the
+        [B, F, 3, H, W] video batch to every device on every accumulated
+        step. Microbatch composition changes, but the loss is the full
+        batch's either way and ``_unsplit_microbatches`` restores original
+        row order for the outputs."""
+        k = accum_steps
+        x = x.reshape((x.shape[0] // k, k) + x.shape[1:])
+        x = _constrain(x, (_batch_axes, None))
+        return jnp.swapaxes(x, 0, 1)
+
+    def _unsplit_microbatches(y):
+        """[k, B/k, ...] scan outputs -> [B, ...] in ORIGINAL batch order
+        (inverse of the strided split: row ``j*k + i`` = ``y[i, j]``), so
+        metrics/meta pairing and the sim-matrix diagonal are untouched."""
+        y = jnp.swapaxes(y, 0, 1)
+        y = y.reshape((y.shape[0] * y.shape[1],) + y.shape[2:])
+        return _constrain(y, (_batch_axes,))
 
     def _apply(params, batch_stats, data, train, rngs, branch_override=None):
         # uint8 HWC images normalize on device (4x less host->device traffic
@@ -229,15 +299,12 @@ def make_step_fns(module, criterion, tx, donate: bool = True,
             # the features; backward re-encodes one microbatch at a time —
             # GradCache's memory profile out of jax.checkpoint + lax.scan
             encode_mb = jax.checkpoint(encode_mb)
-            mbs = jax.tree_util.tree_map(
-                lambda x: x.reshape((k, x.shape[0] // k) + x.shape[1:]),
-                tuple(data),
-            )
+            mbs = jax.tree_util.tree_map(_split_microbatches, tuple(data))
             final_bs, (vs, ts, auxs) = jax.lax.scan(
                 encode_mb, state.batch_stats, (jnp.arange(k), mbs)
             )
-            feats_vis = vs.reshape((-1,) + vs.shape[2:])
-            feats_text = ts.reshape((-1,) + ts.shape[2:])
+            feats_vis = _unsplit_microbatches(vs)
+            feats_text = _unsplit_microbatches(ts)
             # the FULL batch's similarity matrix — the whole point: the
             # InfoNCE negatives are the large batch's, not a microbatch's
             # (retrieval.py:_sim; logit_scale lives under the clip tower)
@@ -372,7 +439,8 @@ class Trainer:
         aux_w = float(config.get("moe_aux_loss_weight", 0.01))
         accum = int(cfg_trainer.get("accum_steps", 1))
         self.train_step, self.eval_step = make_step_fns(
-            module, criterion, tx, aux_loss_weight=aux_w, accum_steps=accum
+            module, criterion, tx, aux_loss_weight=aux_w, accum_steps=accum,
+            mesh=mesh,
         )
 
         params = variables["params"]
@@ -427,24 +495,20 @@ class Trainer:
     def _batches(self, loader):
         """Host batching overlapped with device compute: device_put up to 2
         batches ahead (the sharded analogue of pin_memory + prefetch)."""
-        from ..data.tokenizer import truncate_batch_tokens
-
-        # EOT buckets are chosen from the LOCAL batch's max EOT position —
-        # under multi-host each process sees a different slice, so the
-        # data-dependent shape would diverge across controllers (different
-        # traced programs -> crash/deadlock at the first collective). Every
-        # shape must be host-independent there: skip the truncation lever.
-        bucketing = jax.process_count() == 1
+        multihost = jax.process_count() > 1
 
         def gen():
             for *data, meta in loader:
                 # EOT-bucket truncation (exactness-preserving: causal tower,
                 # EOT pooling) — the eval path's measured 2.6x text lever,
                 # applied to training too; one shared bucket per batch keeps
-                # the compile count bounded by the bucket list.
+                # the compile count bounded by the bucket list. Multihost
+                # buckets on the allgathered GLOBAL max EOT so shapes stay
+                # lockstep across controllers (global_truncate_tokens); the
+                # loaders' shard_by_process + drop_last guarantee every host
+                # reaches this collective the same number of times.
                 data = _flatten_data(data)
-                if bucketing:
-                    data = truncate_batch_tokens(data)
+                data = global_truncate_tokens(data, multihost)
                 meta_dev = {
                     k: v for k, v in meta.items() if hasattr(v, "shape")
                 }
