@@ -70,9 +70,33 @@ def main():
         float(serve_n(variables, gallery, tokens, jnp.int32(iters)))
         vals.append(batch * iters / (time.perf_counter() - tic))
     qps = sorted(vals)[1]
+
+    # host-side cost of the encoded-image path (/search/image images_b64):
+    # base64 decode + JPEG decode + PIL-bit-exact CLIP preprocess per image
+    # — pure host work (this container: ONE core), measured per image so
+    # deployments can size the host pool
+    import base64
+    import io
+
+    from PIL import Image
+
+    from vtc_tpu.data.datasets import clip_preprocess_batch
+
+    raw = rng.integers(0, 255, (360, 480, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(raw).save(buf, format="JPEG")
+    b64 = base64.b64encode(buf.getvalue()).decode()
+    n_img = 32
+    tic = time.perf_counter()
+    for _ in range(n_img):
+        img = Image.open(io.BytesIO(base64.b64decode(b64))).convert("RGB")
+        clip_preprocess_batch(np.asarray(img, np.uint8)[None], 224)
+    decode_ms = (time.perf_counter() - tic) / n_img * 1e3
+
     print({
         "serving_queries_per_sec_per_chip": round(qps, 1),
         "batch": batch, "gallery": gallery_n, "k": k, "iters": iters,
+        "b64_image_decode_preprocess_ms_per_image": round(decode_ms, 2),
     })
 
 

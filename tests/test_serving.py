@@ -167,7 +167,7 @@ def http_server():
     index.add(feats, 100 + np.arange(6))
     service = ClipRetrievalService(module, variables, index)
     server = RetrievalHTTPServer(service, tokenizer=tk.tokenize, port=0,
-                                 max_k=10, max_batch=8)
+                                 max_k=10, max_batch=8, image_size=32)
     server.start()
     yield server
     server.shutdown()
@@ -225,6 +225,67 @@ def test_http_server_image_search(http_server):
     assert status == 200
     assert np.asarray(out["ids"]).shape == (2, 2)
     assert np.isfinite(np.asarray(out["scores"])).all()
+
+
+def test_http_server_encoded_image_bit_exact(http_server):
+    """POST real JPEG/PNG bytes as base64 (round-5 item 5): the server
+    decodes + CLIP-preprocesses through the PIL-bit-exact worker, and the
+    result matches a client that decodes the SAME bytes, preprocesses with
+    the repo pipeline, and posts floats — bit-for-bit (identical JSON)."""
+    import base64
+    import io
+
+    from PIL import Image
+
+    from vtc_tpu.data.datasets import clip_preprocess_batch
+
+    rng = np.random.default_rng(7)
+    raw = rng.integers(0, 255, (48, 40, 3), dtype=np.uint8)
+    for fmt in ("JPEG", "PNG"):
+        buf = io.BytesIO()
+        Image.fromarray(raw).save(buf, format=fmt)
+        payload = buf.getvalue()
+        b64 = base64.b64encode(payload).decode()
+
+        status, out_b64 = _post(
+            http_server.port, "/search/image", {"images_b64": [b64], "k": 3}
+        )
+        assert status == 200, out_b64
+
+        # the client-side equivalent: decode the same bytes, preprocess,
+        # post floats
+        decoded = np.asarray(
+            Image.open(io.BytesIO(payload)).convert("RGB"), np.uint8
+        )
+        pre = clip_preprocess_batch(decoded[None], 32)  # [1, 3, 32, 32]
+        status, out_float = _post(
+            http_server.port, "/search/image", {"images": pre.tolist(), "k": 3}
+        )
+        assert status == 200
+        assert out_b64["ids"] == out_float["ids"], fmt
+        assert out_b64["scores"] == out_float["scores"], fmt
+
+
+def test_http_server_encoded_image_validation(http_server):
+    port = http_server.port
+    # both or neither of images / images_b64
+    assert _post(port, "/search/image", {})[0] == 400
+    assert _post(port, "/search/image",
+                 {"images": [[0.0]], "images_b64": ["aaaa"]})[0] == 400
+    # not base64 / not an image / wrong type
+    assert _post(port, "/search/image", {"images_b64": ["!!!"]})[0] == 400
+    assert _post(port, "/search/image",
+                 {"images_b64": [base64_of(b"not an image")]})[0] == 400
+    assert _post(port, "/search/image", {"images_b64": "x"})[0] == 400
+    # batch limit applies to the encoded path too
+    assert _post(port, "/search/image",
+                 {"images_b64": ["aGk="] * 9})[0] == 400
+
+
+def base64_of(raw: bytes) -> str:
+    import base64
+
+    return base64.b64encode(raw).decode()
 
 
 def test_http_server_input_validation(http_server):

@@ -20,8 +20,13 @@ Endpoints (JSON in/out):
   GET  /healthz                   -> {"status": "ok", "gallery_size": N}
   POST /search/text  {"queries": ["a cat", ...], "k": 10}
   POST /search/image {"images": [[...]], "k": 10}   # [n, 3, H, W] floats
-                                                     # or [n, H, W, 3] uint8
-  both -> {"ids": [[...]], "scores": [[...]]}
+                                                     # (pre-preprocessed)
+  POST /search/image {"images_b64": ["<base64 JPEG/PNG>", ...], "k": 10}
+       # encoded bytes: decoded and CLIP-preprocessed server-side through
+       # the PIL-bit-exact native worker (native/vtc_preproc.cpp) — the
+       # boundary a real client cares about: no client-side reimplementation
+       # of CLIP resize/normalize
+  all  -> {"ids": [[...]], "scores": [[...]]}
 """
 
 from __future__ import annotations
@@ -43,11 +48,13 @@ class RetrievalHTTPServer:
     the bound port."""
 
     def __init__(self, service, tokenizer=None, host="127.0.0.1", port=8000,
-                 max_k: int = 100, max_batch: int = 1024):
+                 max_k: int = 100, max_batch: int = 1024,
+                 image_size: int = 224):
         self.service = service
         self.tokenizer = tokenizer
         self.max_k = int(max_k)
         self.max_batch = int(max_batch)
+        self.image_size = int(image_size)
         self._lock = threading.Lock()  # serialize device dispatch
         outer = self
 
@@ -136,16 +143,51 @@ class RetrievalHTTPServer:
             ids, scores = self.service.search_text(tokens, k=self._k(req))
         return {"ids": ids.tolist(), "scores": scores.tolist()}
 
+    def _decode_b64_images(self, items) -> np.ndarray:
+        """base64 JPEG/PNG -> CLIP-preprocessed [n, 3, S, S] float32 via the
+        PIL-bit-exact preprocessor (``native/vtc_preproc.cpp``; transparent
+        PIL fallback) — byte-identical to a client preprocessing with PIL
+        and posting floats (pinned in tests/test_serving.py)."""
+        if not isinstance(items, list) or not all(
+            isinstance(s, str) for s in items
+        ):
+            raise ValueError('"images_b64" must be a list of base64 strings')
+        self._check_batch(len(items))
+        import base64
+        import io
+
+        from PIL import Image
+
+        from ..data.datasets import clip_preprocess_batch
+
+        out = []
+        for i, s in enumerate(items):
+            try:
+                raw = base64.b64decode(s, validate=True)
+                img = Image.open(io.BytesIO(raw)).convert("RGB")
+            except Exception as e:  # noqa: BLE001 — map to a 400, not a 500
+                raise ValueError(f"images_b64[{i}]: cannot decode image: {e}")
+            frame = np.asarray(img, np.uint8)[None]  # [1, h, w, 3]
+            out.append(clip_preprocess_batch(frame, self.image_size)[0])
+        return np.stack(out)
+
     def search_image(self, req: dict) -> dict:
         images = req.get("images")
-        if images is None:
-            raise ValueError('"images" missing')
-        arr = np.asarray(images, np.float32)
-        if arr.ndim != 4:
+        b64 = req.get("images_b64")
+        if (images is None) == (b64 is None):
             raise ValueError(
-                f"images must be a 4-D batch, got shape {arr.shape}"
+                'provide exactly one of "images" (pre-preprocessed floats) '
+                'or "images_b64" (encoded JPEG/PNG bytes)'
             )
-        self._check_batch(arr.shape[0])
+        if b64 is not None:
+            arr = self._decode_b64_images(b64)
+        else:
+            arr = np.asarray(images, np.float32)
+            if arr.ndim != 4:
+                raise ValueError(
+                    f"images must be a 4-D batch, got shape {arr.shape}"
+                )
+            self._check_batch(arr.shape[0])
         with self._lock:
             ids, scores = self.service.search_image(arr, k=self._k(req))
         return {"ids": ids.tolist(), "scores": scores.tolist()}
