@@ -115,6 +115,25 @@ def run(batch, iters, warmup, dtype_name, ntoks=16, windows=3, model_type="ViT-B
 """
 
 
+def _run_code_subprocess(code: str, extra_env=None, timeout=2400) -> float:
+    env = dict(os.environ)
+    # APPEND to PYTHONPATH: the axon sitecustomize lives on it — clobbering
+    # would leave JAX_PLATFORMS=axon with no registered plugin
+    env["PYTHONPATH"] = os.pathsep.join(
+        [str(Path(__file__).parent)]
+        + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else [])
+    )
+    env.update(extra_env or {})
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, env=env,
+        timeout=timeout, cwd=str(Path(__file__).parent),
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT"):
+            return float(line.split()[1])
+    raise RuntimeError(f"bench subprocess failed: {out.stderr[-2000:]}")
+
+
 def _subprocess_run(
     expr: str, extra_env=None, timeout=2400, force_cpu=False
 ) -> float:
@@ -133,22 +152,27 @@ def _subprocess_run(
             "assert jax.default_backend() == 'cpu', jax.default_backend()\n"
         )
     code = prelude + BENCH_CODE + f"\nprint('RESULT', {expr})\n"
-    env = dict(os.environ)
-    # APPEND to PYTHONPATH: the axon sitecustomize lives on it — clobbering
-    # would leave JAX_PLATFORMS=axon with no registered plugin
-    env["PYTHONPATH"] = os.pathsep.join(
-        [str(Path(__file__).parent)]
-        + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else [])
+    return _run_code_subprocess(code, extra_env, timeout)
+
+
+def _measure_train() -> float:
+    """Flagship finetune train-step throughput (forward + backward + 4-group
+    Adam update) in its own clean subprocess — the exact
+    ``scripts/bench_train_step.py 128 16 PretrainedCLIP_finaltf 0 24 6``
+    recipe with the uint8 patch input (PERFORMANCE.md "Training throughput
+    r3"); median of 3 fori_loop windows. Putting it in the driver artifact
+    means a train-step regression fails loudly instead of hiding in
+    PERFORMANCE.md history."""
+    code = (
+        "import os, sys\n"
+        "sys.path.insert(0, 'scripts')\n"
+        "os.environ.setdefault('VTC_BENCH_PATCHES', '1')\n"
+        "import bench_train_step\n"
+        "v = bench_train_step.main(128, 16, 'PretrainedCLIP_finaltf', 0,"
+        " iters=24, warmup=6)\n"
+        "print('RESULT', v)\n"
     )
-    env.update(extra_env or {})
-    out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, env=env,
-        timeout=timeout, cwd=str(Path(__file__).parent),
-    )
-    for line in out.stdout.splitlines():
-        if line.startswith("RESULT"):
-            return float(line.split()[1])
-    raise RuntimeError(f"bench subprocess failed: {out.stderr[-2000:]}")
+    return _run_code_subprocess(code, timeout=2400)
 
 
 def _probe_tpu(total_budget_s: float = 1800.0, attempt_timeout_s: float = 120.0):
@@ -286,6 +310,17 @@ def main():
     # analytic MFU: 16.0 GFLOP/pair (ViT-B/32 visual tower + 6 text encodes
     # at 16-token EOT buckets + CAM; PERFORMANCE.md) over the v5e bf16 peak
     result["mfu"] = round(tpu_pps * 16.0e9 / 197e12, 3)
+
+    # train probe (round-5 item 6): the finetune step in the same artifact so
+    # BOTH hot paths are regression-gated. Train MFU = samples/s x 3 x
+    # 16.0 GFLOP (fwd + ~2x bwd) / 197 TFLOP/s (PERFORMANCE.md formula).
+    if os.environ.get("BENCH_SKIP_TRAIN") != "1":
+        try:
+            train_sps = _measure_train()
+            result["train_samples_per_sec"] = round(train_sps, 2)
+            result["train_mfu"] = round(train_sps * 3 * 16.0e9 / 197e12, 3)
+        except Exception as e:
+            print(f"warning: train probe unavailable ({e})", file=sys.stderr)
     print(json.dumps(result))
 
 

@@ -116,6 +116,7 @@ def main(batch=128, ntoks=16, arch="PretrainedCLIP_finaltf", frames=0,
     print(f"train step: {med:.0f} samples/s median ({ms:.1f} ms/step, "
           f"windows {[round(v) for v in vals]}, batch {batch}, "
           f"{ntoks}-token texts, arch {arch})")
+    return med
 
 
 if __name__ == "__main__":
