@@ -206,3 +206,54 @@ def test_transfer_eval_cli_n_devices(cam_model, monkeypatch):
     df1 = re_cli.main(base, dataset=ds)
     df4 = re_cli.main(base + ["--n_devices", "4"], dataset=ds)
     np.testing.assert_array_equal(df1.to_numpy(), df4.to_numpy())
+
+
+def test_collective_schedule_identical(cam_model, monkeypatch):
+    """State that cannot be host-materialized (fsdp / cross-host tp) routes
+    the multihost eval to the COLLECTIVE schedule: every process walks the
+    full video list feeding global-mesh-sharded batches, no final gather.
+    Wiring pinned by forcing the predicate false: results must equal the
+    single-device run exactly."""
+    module, variables = cam_model
+    ds = _SyntheticVideoDataset(n=5, seed=9)
+    df_single = retrieval_evaluation(
+        module, variables, "synthetic", "test", dataset=ds, frame_stride=4
+    )
+    monkeypatch.setattr(re_mod, "_locally_materializable", lambda leaf: False)
+    df_coll = retrieval_evaluation(
+        module, variables, "synthetic", "test", dataset=ds, frame_stride=4,
+        mesh=create_mesh(4, 1), process_index=0, process_count=2,
+    )
+    np.testing.assert_array_equal(df_single.to_numpy(), df_coll.to_numpy())
+
+
+def test_two_host_with_mesh_uses_local_encode(cam_model, monkeypatch):
+    """Disjoint multihost split WITH a mesh: each process re-places the
+    (host-materializable) params on its LOCAL device mesh and encodes its
+    strided subset there — final metrics equal the single-host run. Host 1's
+    contribution is computed meshless (per-row math is identical either
+    way), which doubles as a local-mesh-vs-no-mesh consistency check."""
+    module, variables = cam_model
+    ds = _SyntheticVideoDataset(n=6, seed=11)
+    df_single = retrieval_evaluation(
+        module, variables, "synthetic", "test", dataset=ds, frame_stride=4
+    )
+    kw = dict(
+        frame_stride=4, first_frame_only=False, first_chunk_only=False,
+        branch_override=None, needs_comments=True, image_size=224,
+        nframes=8, mesh=None,
+    )
+    ids1, vids1, caps1 = _encode_local(module, variables, ds, range(1, 6, 2), **kw)
+    flat1, capvid1 = _flatten_caps(np.asarray(ids1, np.int64), caps1)
+    host1 = iter(
+        [np.asarray(ids1, np.int64), np.stack(vids1), flat1, capvid1]
+    )
+    monkeypatch.setattr(
+        re_mod, "_allgather_varlen",
+        lambda arr: np.concatenate([np.asarray(arr), next(host1)]),
+    )
+    df_multi = retrieval_evaluation(
+        module, variables, "synthetic", "test", dataset=ds, frame_stride=4,
+        mesh=create_mesh(4, 1), process_index=0, process_count=2,
+    )
+    np.testing.assert_array_equal(df_single.to_numpy(), df_multi.to_numpy())
