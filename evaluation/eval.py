@@ -58,12 +58,49 @@ def add_irrelevant_comms(
     return updated
 
 
-def main(config: ConfigParser, args, checkpoint_path):
+class _StridedSubset:
+    """View of every ``count``-th item starting at ``index`` — the per-host
+    disjoint eval split under multihost. The strided splits cover the whole
+    dataset exactly once across hosts; uneven tails are fine because the
+    per-host embedding blocks merge through the varlen allgather."""
+
+    def __init__(self, dataset, index: int, count: int):
+        self.dataset = dataset
+        self.index = int(index)
+        self.count = int(count)
+
+    def __len__(self):
+        return len(range(self.index, len(self.dataset), self.count))
+
+    def __getitem__(self, i):
+        return self.dataset[self.index + i * self.count]
+
+
+def main(config: ConfigParser, args, checkpoint_path,
+         process_index=None, process_count=None):
+    """Run the test-split eval. Under multihost (``jax.process_count() > 1``,
+    or the explicit ``process_index``/``process_count`` test overrides) each
+    process encodes the DISJOINT strided subset ``pidx::pcount`` of the test
+    set and the embedding blocks are allgathered before ranking — R@K is
+    invariant to the row permutation (queries and gallery permute together).
+    The ``add_irrelevant_comms`` probe draws within each (per-host) batch, so
+    its results match the probe's semantics but not the single-host batch
+    composition bit-for-bit."""
+    import jax
     import jax.numpy as jnp
 
     logger = config.get_logger("test")
 
     dataset = config.init_obj("dataset", module_data, train=False, test=True)
+
+    pidx = jax.process_index() if process_index is None else int(process_index)
+    pcount = jax.process_count() if process_count is None else int(process_count)
+    if pcount > 1:
+        dataset = _StridedSubset(dataset, pidx, pcount)
+        logger.info(
+            "multihost eval: process %d/%d evaluates %d of the %d items",
+            pidx, pcount, len(dataset), len(dataset.dataset),
+        )
 
     arch_args = dict(config["arch"]["args"])
     branch_to_adapt = arch_args.get("branch_to_adapt_val", None)
@@ -106,22 +143,25 @@ def main(config: ConfigParser, args, checkpoint_path):
             )
     logger.info("Model: %s", config["arch"]["type"])
 
-    import jax
-
     needs_comments = hasattr(module, "branch_to_adapt_val")
 
     # mesh-sharded eval (--n_devices/--n_model, like train.py): params laid
     # out by the tp rules, batches sharded over the data axis — the
     # "sharded all-gather over ICI" eval path, user-reachable from this CLI
-    # (single-device when the flags are absent, byte-identical results)
+    # (single-device when the flags are absent, byte-identical results).
+    # Under multihost the mesh is built over THIS process's devices: the
+    # data split is already per-host (disjoint subsets), so the encode mesh
+    # must be local — a global mesh would need every host to feed it the
+    # same batches, the opposite of the disjoint schedule.
     mesh = None
     n_dev = int(config.get("n_devices", 1) or 1)
     n_model = int(config.get("n_model", 1) or 1)
+    mesh_devices = jax.local_devices() if pcount > 1 else jax.devices()
     if n_dev * n_model > 1:
-        if len(jax.devices()) >= n_dev * n_model:
+        if len(mesh_devices) >= n_dev * n_model:
             from vtc_tpu.parallel.mesh import create_mesh, tree_shardings
 
-            mesh = create_mesh(n_dev, n_model)
+            mesh = create_mesh(n_dev, n_model, devices=mesh_devices)
             variables = dict(variables)
             variables["params"] = jax.device_put(
                 variables["params"],
@@ -187,6 +227,15 @@ def main(config: ConfigParser, args, checkpoint_path):
     res_vis = np.concatenate(res_vis)
     res_text = np.concatenate(res_text)
 
+    if pcount > 1:
+        # merge the per-host embedding blocks (uneven tails allowed); the
+        # row permutation vs a single-host run is shared by queries and
+        # gallery, so the recall ranks are unchanged
+        from vtc_tpu.evaluation.retrieval_eval import _allgather_varlen
+
+        res_vis = _allgather_varlen(res_vis)
+        res_text = _allgather_varlen(res_text)
+
     recall_title_from_im = recall_at_k(res_vis, res_text, [1, 5, 10])
     recall_im_from_title = recall_at_k(res_text, res_vis, [1, 5, 10])
 
@@ -201,8 +250,9 @@ def main(config: ConfigParser, args, checkpoint_path):
         "R5_im_from_title": recall_im_from_title[1][1],
         "R10_im_from_title": recall_im_from_title[2][1],
     }
-    with open(save_path, "w") as f:
-        json.dump(out, f)
+    if pidx == 0:  # every host computes identical metrics; one writer
+        with open(save_path, "w") as f:
+            json.dump(out, f)
     return out
 
 
@@ -213,6 +263,12 @@ if __name__ == "__main__":
     args.add_argument("-r", "--resume", default=None, type=str)
     args.add_argument("-d", "--device", default=None, type=str)
     args.add_argument("--num_irrelevant_comments", default=0, type=int)
+    args.add_argument(
+        "--multihost", default=0, type=int,
+        help="initialize jax.distributed for a multi-controller pod eval: "
+             "each host encodes a disjoint strided subset of the test set "
+             "and the embeddings are allgathered before ranking",
+    )
     options = [
         CustomArgs(["--lr", "--learning_rate"], type=float, target="optimizer;args;lr"),
         CustomArgs(["--bs", "--batch_size"], type=int, target="batch_size"),
@@ -228,4 +284,8 @@ if __name__ == "__main__":
     ]
     config = ConfigParser.from_args(args, options)
     args = args.parse_args()
+    if args.multihost:
+        from vtc_tpu.utils.util import init_distributed
+
+        init_distributed()
     main(config, args, config.resume)

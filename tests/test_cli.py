@@ -402,3 +402,55 @@ def test_eval_cli_irrelevant_comments_never_self(corpus):
     for i in range(bs):
         appended = out[i, ncomms:]
         assert (appended != i + 1).all(), f"row {i} drew its own comments"
+
+
+@pytest.mark.slow
+def test_eval_cli_multihost_disjoint_matches_single(corpus, monkeypatch,
+                                                    tmp_path):
+    """Multihost eval (round 5): each process encodes the strided DISJOINT
+    subset ``pidx::pcount`` of the test set and the embedding blocks merge
+    via the varlen allgather; the final R@K equal the single-host run (the
+    row permutation is shared by queries and gallery, so ranks are
+    unchanged). Host 1's contribution is recorded by running main() as rank
+    1 with an identity gather — exactly what process_allgather returns for
+    that rank's slot."""
+    monkeypatch.chdir(tmp_path)
+    tmp_path2, csv, root = corpus
+    cfg = _config(tmp_path2, csv, root)
+    cfg["batch_size"] = 5
+    cfg_path = tmp_path2 / "cfg_eval_mh.jsonc"
+    cfg_path.write_text(json.dumps(cfg))
+
+    import importlib
+
+    eval_cli = importlib.import_module("eval")
+    import vtc_tpu.evaluation.retrieval_eval as re_mod
+    from vtc_tpu.config import ConfigParser
+    from vtc_tpu.utils import read_json
+
+    class Args:
+        num_irrelevant_comments = 0
+
+    single = eval_cli.main(ConfigParser(read_json(cfg_path)), Args(), None)
+
+    rank1 = []
+    monkeypatch.setattr(
+        re_mod, "_allgather_varlen",
+        lambda arr: (rank1.append(np.asarray(arr)), np.asarray(arr))[1],
+    )
+    eval_cli.main(ConfigParser(read_json(cfg_path)), Args(), None,
+                  process_index=1, process_count=2)
+    assert len(rank1) == 2  # res_vis, res_text gathered once each
+    # rank 1 saw the 1::2 half of the test split, rank 0 the 0::2 half
+    n_test = rank1[0].shape[0]
+    assert n_test > 0
+
+    blocks = iter(rank1)
+    monkeypatch.setattr(
+        re_mod, "_allgather_varlen",
+        lambda arr: np.concatenate([np.asarray(arr), next(blocks)]),
+    )
+    multi = eval_cli.main(ConfigParser(read_json(cfg_path)), Args(), None,
+                          process_index=0, process_count=2)
+    assert multi == pytest.approx(single, abs=1e-6)
+    Path("zero_shot_res_None.json").unlink()

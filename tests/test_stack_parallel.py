@@ -213,7 +213,8 @@ def test_sharded_steps_no_involuntary_remat(capfd):
     comments_h = rng.integers(1, 49405, size=(8, 3, 77)).astype(np.int32)
 
     def run(mesh, **step_kw):
-        step, _ = make_step_fns(module, clip_loss, tx, donate=False, **step_kw)
+        step, _ = make_step_fns(module, clip_loss, tx, donate=False,
+                                mesh=step_kw.pop("step_mesh", None), **step_kw)
         p = jax.device_put(
             variables["params"], tree_shardings(variables["params"], mesh)
         )
@@ -234,7 +235,7 @@ def test_sharded_steps_no_involuntary_remat(capfd):
     set_stack_parallel(None)
 
     dp_mesh = create_mesh(4, 2)
-    accum_loss = run(dp_mesh, accum_steps=2, mesh=dp_mesh)
+    accum_loss = run(dp_mesh, accum_steps=2, step_mesh=dp_mesh)
 
     err = capfd.readouterr().err
     assert "Involuntary full rematerialization" not in err

@@ -67,23 +67,9 @@ def main(config: ConfigParser):
         # process topology on TPU pods; loaders shard the input per host
         # (shard_by_process) and parallel.mesh.shard_batch assembles global
         # batches from the per-host slices.
-        import jax
+        from vtc_tpu.utils.util import init_distributed
 
-        try:
-            jax.distributed.initialize()
-        except RuntimeError:
-            # jax.distributed.initialize() refuses once backends exist —
-            # and a sitecustomize (or an importing caller) may have
-            # initialized them before main() ran. Reset the backend caches
-            # (BOTH of them — CLAUDE.md "Resetting the backend") and retry
-            # so --multihost works regardless of import-time side effects.
-            import jax._src.xla_bridge as xb
-
-            if not getattr(xb, "_backends", None):
-                raise
-            xb._clear_backends()
-            xb.get_backend.cache_clear()
-            jax.distributed.initialize()
+        init_distributed()
         # rank-coordinated run dir: rank 0 picks the id, broadcasts it, and
         # is the only writer of config.json/logs; all ranks resolve the SAME
         # save_dir (orbax collective saves need one directory pod-wide)

@@ -75,3 +75,24 @@ def prepare_devices(n_devices_use: int):
 def to_numpy_tree(obj):
     """Bring a pytree of device arrays back to host numpy."""
     return jax.tree_util.tree_map(lambda x: np.asarray(x), obj)
+
+
+def init_distributed():
+    """Initialize the JAX distributed runtime for a multi-controller pod run
+    (``train.py --multihost`` / ``evaluation/eval.py --multihost``). Must run
+    BEFORE any device use so ``jax.devices()`` sees the whole slice; the
+    no-args form auto-detects coordinator and process topology on TPU pods.
+
+    A sitecustomize (or an importing caller) may have initialized backends
+    already — ``jax.distributed.initialize`` refuses then, so reset the
+    backend caches (BOTH of them) and retry."""
+    try:
+        jax.distributed.initialize()
+    except RuntimeError:
+        import jax._src.xla_bridge as xb
+
+        if not getattr(xb, "_backends", None):
+            raise
+        xb._clear_backends()
+        xb.get_backend.cache_clear()
+        jax.distributed.initialize()
