@@ -263,13 +263,14 @@ if __name__ == "__main__":
     args.add_argument("-r", "--resume", default=None, type=str)
     args.add_argument("-d", "--device", default=None, type=str)
     args.add_argument("--num_irrelevant_comments", default=0, type=int)
-    args.add_argument(
-        "--multihost", default=0, type=int,
-        help="initialize jax.distributed for a multi-controller pod eval: "
-             "each host encodes a disjoint strided subset of the test set "
-             "and the embeddings are allgathered before ranking",
-    )
     options = [
+        # --multihost is a config target (not a plain argparse flag) so
+        # ConfigParser DEFERS run-dir creation: with every pod process
+        # running this CLI, eagerly picking a wall-clock run id races the
+        # mkdir / diverges across a minute boundary exactly like train.py's
+        # case — rank 0 must pick the id AFTER jax.distributed.initialize()
+        # and broadcast it (finalize_run_dir below).
+        CustomArgs(["--multihost"], type=int, target="multihost"),
         CustomArgs(["--lr", "--learning_rate"], type=float, target="optimizer;args;lr"),
         CustomArgs(["--bs", "--batch_size"], type=int, target="batch_size"),
         CustomArgs(["--n_devices"], type=int, target="n_devices"),
@@ -284,8 +285,9 @@ if __name__ == "__main__":
     ]
     config = ConfigParser.from_args(args, options)
     args = args.parse_args()
-    if args.multihost:
+    if config.get("multihost"):
         from vtc_tpu.utils.util import init_distributed
 
         init_distributed()
+        config.finalize_run_dir()
     main(config, args, config.resume)

@@ -83,11 +83,25 @@ def init_distributed():
     BEFORE any device use so ``jax.devices()`` sees the whole slice; the
     no-args form auto-detects coordinator and process topology on TPU pods.
 
+    Off a TPU pod there is nothing to auto-detect, so the standard JAX
+    topology env vars are honored explicitly: ``JAX_COORDINATOR_ADDRESS`` +
+    ``JAX_NUM_PROCESSES`` + ``JAX_PROCESS_ID`` (the launcher — mpirun wrapper,
+    k8s indexed job, or the real-2-process integration test — exports them).
+
     A sitecustomize (or an importing caller) may have initialized backends
     already — ``jax.distributed.initialize`` refuses then, so reset the
     backend caches (BOTH of them) and retry."""
+    import os
+
+    kwargs = {}
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        kwargs = dict(
+            coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ["JAX_PROCESS_ID"]),
+        )
     try:
-        jax.distributed.initialize()
+        jax.distributed.initialize(**kwargs)
     except RuntimeError:
         import jax._src.xla_bridge as xb
 
@@ -95,4 +109,4 @@ def init_distributed():
             raise
         xb._clear_backends()
         xb.get_backend.cache_clear()
-        jax.distributed.initialize()
+        jax.distributed.initialize(**kwargs)
