@@ -4,6 +4,7 @@ the ``pretrained_clip_comments_attn_frozen.jsonc`` path), checkpoint
 save/resume, and image->video warm start."""
 
 import json
+import logging
 
 import jax
 import jax.numpy as jnp
@@ -223,6 +224,58 @@ def test_end_to_end_training_slice(tmp_path):
         np.asarray(ckpt["params"]["cam"]["mask_embedding"]),
         params1["cam"]["mask_embedding"],
     )
+
+
+def test_empty_validation_loader_warns_root_cause(tmp_path):
+    """drop_last validation (reference parity) with a (per-host) val split
+    smaller than batch_size yields zero batches; monitoring then silently
+    turns off with a misleading 'Metric not found' symptom. The trainer must
+    name the ROOT CAUSE loudly (found by the real 2-process multihost test:
+    each host's sharded val split undershot the batch size)."""
+    csv = _make_features_fixture(tmp_path)
+    config = _min_config(tmp_path, epochs=1)
+
+    module, variables = create_model(
+        "PretrainedCLIP_finaltf", model_type=TINY, freeze="all", seed=0
+    )
+    train_ds = _FeatureCommentDataset(csv, str(tmp_path / "vis.npz"), train=True)
+    val_ds = _FeatureCommentDataset(csv, str(tmp_path / "vis.npz"), train=False)
+    train_loader = DataLoader(
+        train_ds, batch_size=8, shuffle=True, drop_last=True, num_workers=0
+    )
+    # batch_size larger than the val split + drop_last -> zero batches
+    val_loader = DataLoader(
+        val_ds, batch_size=len(val_ds) + 1, drop_last=True, num_workers=0
+    )
+    assert len(val_loader) == 0
+
+    tx = build_optimizer(
+        variables["params"], config["optimizer"], config["lr_scheduler"],
+        steps_per_epoch=len(train_loader), branch_to_freeze="all",
+    )
+    trainer = Trainer(
+        module, variables, clip_loss,
+        [RecallAtK("visual", "titles", [1, 10])],
+        tx, config, train_loader, val_loader,
+        arch_name="PretrainedCLIP_finaltf",
+    )
+    # collect records straight off the trainer's logger: the run-dir logging
+    # dictConfig replaces root handlers, so pytest's caplog can miss these
+    records = []
+
+    class _Collect(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    handler = _Collect(level=logging.WARNING)
+    trainer.logger.addHandler(handler)
+    try:
+        log = trainer.train()
+    finally:
+        trainer.logger.removeHandler(handler)
+    assert "val_titles_from_visual-recall_at_10" not in log
+    zero_warn = [m for m in records if "ZERO batches" in m]
+    assert zero_warn, "missing the zero-val-batches root-cause warning"
 
 
 def test_loss_decreases_with_training(tmp_path):

@@ -614,6 +614,7 @@ class Trainer:
     def _valid_epoch(self, epoch: int) -> dict:
         self.logger.debug("Starting validation")
         self.valid_metrics.reset()
+        n_batches = 0
         for batch_idx, (*data, meta) in enumerate(self.valid_data_loader):
             data = _flatten_data(data)
             data = self._put_batch(data)
@@ -628,6 +629,21 @@ class Trainer:
                 (epoch - 1) * len(self.valid_data_loader) + batch_idx, "valid"
             )
             self.valid_metrics.update(float(loss), out, meta)
+            n_batches += 1
+        if n_batches == 0:
+            # drop_last validation (reference parity, train.py:57-62) with a
+            # per-host split smaller than batch_size yields NO batches — the
+            # val metrics come back empty and monitoring silently turns off
+            # downstream. Surfaced by the real 2-process multihost test; say
+            # the root cause out loud so an operator fixes the batch size
+            # instead of chasing the "Metric not found" symptom.
+            self.logger.warning(
+                "Validation loader yielded ZERO batches (per-host val split "
+                "of %s items < batch_size with drop_last): val metrics are "
+                "empty and monitoring will be disabled. Reduce batch_size "
+                "or grow the validation split.",
+                len(getattr(self.valid_data_loader, "dataset", [])),
+            )
 
         # per-epoch retrieval probe, normal + adapter-skip
         # (trainer/trainer.py:152-182)
