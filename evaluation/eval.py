@@ -145,6 +145,26 @@ def main(config: ConfigParser, args, checkpoint_path,
 
     needs_comments = hasattr(module, "branch_to_adapt_val")
 
+    if num_irrelevant_comments and needs_comments:
+        # fail FAST (before minutes of encoding) and on EVERY host: a
+        # 1-element tail batch makes add_irrelevant_comms raise mid-loop —
+        # under multihost only on the host that drew the bad tail, leaving
+        # the others hung in the embedding allgather. Per-host subset sizes
+        # are deterministic, so all hosts reach the same verdict here.
+        bs = int(config["batch_size"])
+        n_total = len(dataset.dataset) if pcount > 1 else len(dataset)
+        tails = [
+            len(range(p, n_total, pcount)) % bs for p in range(pcount)
+        ] if pcount > 1 else [n_total % bs]
+        if any(t == 1 for t in tails):
+            raise ValueError(
+                f"--num_irrelevant_comments with batch_size={bs} leaves a "
+                f"1-element tail batch (per-host split sizes "
+                f"{[len(range(p, n_total, pcount)) for p in range(pcount)]}); "
+                f"add_irrelevant_comms needs >= 2 items per batch — pick a "
+                f"batch size without 1-element remainders"
+            )
+
     # mesh-sharded eval (--n_devices/--n_model, like train.py): params laid
     # out by the tp rules, batches sharded over the data axis — the
     # "sharded all-gather over ICI" eval path, user-reachable from this CLI
@@ -170,9 +190,10 @@ def main(config: ConfigParser, args, checkpoint_path,
             logger.info("Eval mesh: %s", mesh)
         else:
             logger.warning(
-                "Requested a %dx%d mesh but only %d device(s); "
+                "Requested a %dx%d mesh but only %d %sdevice(s); "
                 "evaluating on one device.",
-                n_dev, n_model, len(jax.devices()),
+                n_dev, n_model, len(mesh_devices),
+                "host-local " if pcount > 1 else "",
             )
 
     @jax.jit

@@ -337,7 +337,7 @@ def test_eval_cli_sharded_mesh_matches_single_device(corpus, monkeypatch,
     monkeypatch.chdir(tmp_path)
     tmp_path2, csv, root = corpus
     cfg = _config(tmp_path2, csv, root)
-    cfg["batch_size"] = 5  # 17 test items -> tail batch of 2: pads to 4
+    cfg["batch_size"] = 3  # 4 test items -> tail batch of 1: repeat-pads to 2
     cfg_path = tmp_path2 / "cfg_eval_mesh.jsonc"
     cfg_path.write_text(json.dumps(cfg))
 
@@ -357,6 +357,56 @@ def test_eval_cli_sharded_mesh_matches_single_device(corpus, monkeypatch,
     sharded = eval_cli.main(ConfigParser(read_json(cfg_path)), Args(), None)
     assert sharded == pytest.approx(single, abs=1e-5)
     Path("zero_shot_res_None.json").unlink()
+
+
+def test_eval_cli_irrelevant_probe_fails_fast_on_one_element_tail(
+    corpus, monkeypatch, tmp_path
+):
+    """--num_irrelevant_comments with a batch size that leaves a 1-element
+    tail must raise BEFORE encoding, on every host (the in-loop raise fired
+    on one host only and left the others hung in the embedding allgather)."""
+    monkeypatch.chdir(tmp_path)
+    tmp_path2, csv, root = corpus
+    cfg = _config(tmp_path2, csv, root)
+    cfg["batch_size"] = 3  # 4 test items -> 4 % 3 == 1
+    cfg_path = tmp_path2 / "cfg_eval_tail.jsonc"
+    cfg_path.write_text(json.dumps(cfg))
+
+    import importlib
+
+    eval_cli = importlib.import_module("eval")
+    from vtc_tpu.config import ConfigParser
+    from vtc_tpu.utils import read_json
+
+    class Args:
+        num_irrelevant_comments = 2
+
+    with pytest.raises(ValueError, match="1-element tail"):
+        eval_cli.main(ConfigParser(read_json(cfg_path)), Args(), None)
+
+    # multihost: 4 items over 3 hosts = 2 + 1 + 1; hosts 1 and 2 have
+    # 1-element (tail) batches at batch_size 2 -> EVERY host must reach the
+    # same verdict, including host 0 whose local split is clean
+    cfg["batch_size"] = 2
+    cfg_path.write_text(json.dumps(cfg))
+    for pidx in (0, 1, 2):
+        with pytest.raises(ValueError, match="1-element tail"):
+            eval_cli.main(
+                ConfigParser(read_json(cfg_path)), Args(), None,
+                process_index=pidx, process_count=3,
+            )
+
+
+def test_init_distributed_partial_env_names_contract(monkeypatch):
+    """A partially-exported off-pod topology must fail with the contract
+    named, not a bare KeyError."""
+    from vtc_tpu.utils.util import init_distributed
+
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "host0:9911")
+    monkeypatch.delenv("JAX_NUM_PROCESSES", raising=False)
+    monkeypatch.delenv("JAX_PROCESS_ID", raising=False)
+    with pytest.raises(RuntimeError, match="JAX_PROCESS_ID"):
+        init_distributed()
 
 
 def test_eval_cli_irrelevant_comments(corpus):

@@ -134,6 +134,45 @@ def test_resume_reads_run_config(tmp_path):
     assert str(config2.resume) == str(ckpt)
 
 
+def test_resume_does_not_inherit_multihost(tmp_path):
+    """multihost is a per-launch topology property: a run dir written by a
+    pod training run persists "multihost": 1, but a later single-host
+    eval/resume must NOT inherit it (it would call
+    jax.distributed.initialize() off-pod and crash). The CLI flag re-enables
+    it explicitly."""
+    import json
+    import sys
+
+    from vtc_tpu.config import CustomArgs
+    from vtc_tpu.utils import read_json
+
+    cfg_path = _write_min_config(tmp_path)
+    cfg = read_json(cfg_path)
+    cfg["multihost"] = 1  # as written into a pod run's config.json
+    run_dir = tmp_path / "podrun"
+    run_dir.mkdir()
+    (run_dir / "config.json").write_text(json.dumps(cfg))
+    ckpt = run_dir / "checkpoint-epoch1"
+    ckpt.write_text("fake")
+
+    def parse(argv_tail):
+        parser = argparse.ArgumentParser()
+        parser.add_argument("-c", "--config", default=None)
+        parser.add_argument("-r", "--resume", default=None)
+        argv = sys.argv
+        sys.argv = ["prog", "-r", str(ckpt)] + argv_tail
+        try:
+            return ConfigParser.from_args(
+                parser, [CustomArgs(["--multihost"], type=int,
+                                    target="multihost")]
+            )
+        finally:
+            sys.argv = argv
+
+    assert not parse([]).get("multihost")  # stripped on resume
+    assert parse(["--multihost", "1"]).get("multihost") == 1  # explicit wins
+
+
 def test_device_flag_sets_mesh_device_count(tmp_path):
     """-d/--device selects the number of mesh devices (the TPU analogue of
     the reference's CUDA_VISIBLE_DEVICES flag); --n_devices wins when both

@@ -257,3 +257,86 @@ def test_two_host_with_mesh_uses_local_encode(cam_model, monkeypatch):
         mesh=create_mesh(4, 1), process_index=0, process_count=2,
     )
     np.testing.assert_array_equal(df_single.to_numpy(), df_multi.to_numpy())
+
+
+class _FailingEvens(_SyntheticVideoDataset):
+    """Decode failure (frames=None) for every even index — host 0's entire
+    strided subset under a 2-host split."""
+
+    def __getitem__(self, i):
+        if i % 2 == 0:
+            return None, None, None, {}
+        return super().__getitem__(i)
+
+
+def test_two_host_zero_local_survivors_no_deadlock(cam_model, monkeypatch):
+    """A host whose local videos ALL fail to decode must still join the
+    allgathers with empty blocks (raising pre-gather would deadlock the pod,
+    the round-5 review finding) — final metrics equal the single-host run on
+    the same failing dataset."""
+    import jax.experimental.multihost_utils as mhu_mod
+
+    module, variables = cam_model
+    ds = _FailingEvens(n=7, seed=2)
+
+    df_single = retrieval_evaluation(
+        module, variables, "synthetic", "test", dataset=ds, frame_stride=4
+    )
+
+    kw = dict(
+        frame_stride=4, first_frame_only=False, first_chunk_only=False,
+        branch_override=None, needs_comments=True, image_size=224,
+        nframes=8, mesh=None,
+    )
+    ids1, vids1, caps1 = _encode_local(module, variables, ds, range(1, 7, 2), **kw)
+    assert ids1 == [1, 3, 5]
+    flat1, capvid1 = _flatten_caps(np.asarray(ids1, np.int64), caps1)
+    dim = np.stack(vids1).shape[1]
+    host1 = iter(
+        [
+            np.asarray(ids1, np.int64),
+            np.stack(vids1).astype(np.float32),
+            flat1.astype(np.float32),
+            capvid1,
+        ]
+    )
+    monkeypatch.setattr(
+        re_mod, "_allgather_varlen",
+        lambda arr: np.concatenate([np.asarray(arr), next(host1)]),
+    )
+    # the embedding-width agreement gather: host 0 contributes 0, host 1 D
+    monkeypatch.setattr(
+        mhu_mod, "process_allgather",
+        lambda x, **kw: np.stack(
+            [np.asarray(x), np.asarray(dim, np.int64)]
+        ),
+    )
+    # host 0: subset {0, 2, 4, 6} all fail to decode -> empty contribution
+    df_multi = retrieval_evaluation(
+        module, variables, "synthetic", "test", dataset=ds, frame_stride=4,
+        process_index=0, process_count=2,
+    )
+    np.testing.assert_array_equal(df_single.to_numpy(), df_multi.to_numpy())
+
+
+def test_all_hosts_empty_raises_consistently(cam_model, monkeypatch):
+    """When EVERY process comes up empty the failure is raised on all hosts
+    AFTER the width gather (collectively safe), with the real cause named."""
+    import jax.experimental.multihost_utils as mhu_mod
+
+    module, variables = cam_model
+
+    class _AllFail(_SyntheticVideoDataset):
+        def __getitem__(self, i):
+            return None, None, None, {}
+
+    monkeypatch.setattr(
+        mhu_mod, "process_allgather",
+        lambda x, **kw: np.stack([np.asarray(x), np.asarray(x)]),
+    )
+    with pytest.raises(RuntimeError, match="ANY of 2 processes"):
+        retrieval_evaluation(
+            module, variables, "synthetic", "test",
+            dataset=_AllFail(n=4), frame_stride=4,
+            process_index=0, process_count=2,
+        )

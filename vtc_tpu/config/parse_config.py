@@ -141,6 +141,19 @@ class ConfigParser:
             run_dir.mkdir(parents=True, exist_ok=False)
             write_json(self._config, run_dir / "config.json")
             setup_logging(run_dir)
+        else:
+            # non-zero ranks get a console-only WARNING setup with a rank
+            # prefix (no shared log files — N ranks writing the same
+            # rotating file would interleave/rotate each other): rank-local
+            # operator warnings (e.g. the trainer's zero-val-batches root
+            # cause) must not vanish just because they fired off rank 0.
+            logging.basicConfig(
+                level=logging.WARNING,
+                format=(
+                    f"[rank {jax.process_index()}] "
+                    "%(levelname)s %(name)s: %(message)s"
+                ),
+            )
         multihost_utils.sync_global_devices("vtc_tpu:run_dir")
         self._run_dir = run_dir
         return run_dir
@@ -157,6 +170,12 @@ class ConfigParser:
         if resume is not None:
             resume = Path(resume)
             config = read_json(resume.parent / "config.json")
+            # multihost is a property of THIS launch's topology, not of the
+            # experiment: a run dir written by a pod training run persists
+            # "multihost": 1, and inheriting it would make a later
+            # single-host eval/resume call jax.distributed.initialize() off
+            # a pod and crash. Drop it; the CLI flag re-enables per launch.
+            config.pop("multihost", None)
             if explicit_cfg:  # fine-tuning: overlay the new config file
                 config.update(read_json(explicit_cfg))
         else:

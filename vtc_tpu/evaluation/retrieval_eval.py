@@ -259,7 +259,23 @@ def _encode_local(
             comments = None
         else:
             frames, captions, comments, _ = item
-        if frames is None:
+        ok = frames is not None
+        if spans:
+            # collective schedule (pod mesh): every host must issue the SAME
+            # per-video collective sequence, so a host-LOCAL decode failure
+            # (transient IO) cannot silently `continue` — the desynchronized
+            # collectives would hang the pod or mismatch silently. Agree
+            # first with one tiny allgather: the video is skipped on ALL
+            # hosts unless every host decoded it.
+            from jax.experimental import multihost_utils as mhu
+
+            ok = bool(np.min(mhu.process_allgather(np.asarray(ok, np.int32))))
+            if ok != (frames is not None):
+                logger.warning(
+                    "skipping video %s: decode failed on another host "
+                    "(collective schedule requires all hosts)", idx
+                )
+        if not ok:
             continue
         captions = np.asarray(captions)
         assert captions.ndim == 2
@@ -453,12 +469,12 @@ def retrieval_evaluation(
         mesh=enc_mesh,
     )
 
-    if not ids:
-        # Every local item was skipped (frames is None on decode failure) or
-        # the split is empty — fail with the real condition instead of an
-        # opaque np.stack error below. Under multihost a host with zero
-        # surviving videos cannot join the fixed-shape allgather either, so
-        # the same loud failure applies (use fewer hosts than videos).
+    disjoint = multihost and not collective
+    if not ids and not disjoint:
+        # Every item was skipped (frames is None on decode failure) or the
+        # split is empty — fail with the real condition instead of an opaque
+        # np.stack error below. Single-host, or the collective schedule
+        # (identical indices everywhere): every process raises together.
         raise RuntimeError(
             f"retrieval evaluation produced no embeddings on process "
             f"{pidx}/{pcount}: all {len(list(indices))} local items of "
@@ -466,11 +482,46 @@ def retrieval_evaluation(
             f"(check the data root paths)"
         )
 
-    ids = np.asarray(ids, np.int64)
-    video_tensor = np.stack(video_means)
-    flat_caps, cap_vid = _flatten_caps(ids, caption_embs)
+    if ids:
+        ids = np.asarray(ids, np.int64)
+        video_tensor = np.stack(video_means)
+        flat_caps, cap_vid = _flatten_caps(ids, caption_embs)
+    else:
+        # disjoint multihost with ZERO local survivors: this host must still
+        # join every allgather below (raising here while the others proceed
+        # would deadlock the pod on the counts collective) — contribute
+        # empty blocks instead, with the embedding width agreed collectively.
+        logger.warning(
+            "process %d/%d produced no embeddings (all %d local items "
+            "failed to decode); contributing empty blocks to the allgather",
+            pidx, pcount, len(list(indices)),
+        )
+        ids = np.zeros((0,), np.int64)
+        video_tensor = flat_caps = None
+        cap_vid = np.zeros((0,), np.int64)
 
-    if multihost and not collective:
+    if disjoint:
+        from jax.experimental import multihost_utils as mhu
+
+        dim = 0 if video_tensor is None else int(video_tensor.shape[1])
+        dim = int(np.max(mhu.process_allgather(np.asarray(dim, np.int64))))
+        if dim == 0:
+            # every process came up empty — now the loud failure is
+            # collective-safe (all raise together, after the same gathers)
+            raise RuntimeError(
+                f"retrieval evaluation produced no embeddings on ANY of "
+                f"{pcount} processes: {datasetname}/{split} failed to "
+                f"decode everywhere or the split is empty (check the data "
+                f"root paths)"
+            )
+        if video_tensor is None:
+            video_tensor = np.zeros((0, dim), np.float32)
+            flat_caps = np.zeros((0, dim), np.float32)
+        else:
+            # the allgather needs one dtype on every host (incl. empty-block
+            # hosts); ranking is f32 math downstream anyway
+            video_tensor = np.asarray(video_tensor, np.float32)
+            flat_caps = np.asarray(flat_caps, np.float32)
         ids = _allgather_varlen(ids)
         video_tensor = _allgather_varlen(video_tensor)
         flat_caps = _allgather_varlen(flat_caps)

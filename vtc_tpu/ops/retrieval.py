@@ -178,11 +178,14 @@ def recall_hits_sharded(gallery, queries, targets, max_k: int, mesh, axis: str =
 
 
 def recall_at_k_sharded(features_a, features_b, k_vals, mesh, axis="data", targets=None):
-    queries = jnp.asarray(features_b)
+    # keep inputs on host: recall_hits_sharded re-lays everything out on the
+    # mesh anyway, so a jnp.asarray here would only add a host->device and a
+    # device->host round-trip per call (~0.6 s each through the dev tunnel)
+    queries = np.asarray(features_b)
     nq = queries.shape[0]
-    targets = jnp.arange(nq) if targets is None else jnp.asarray(targets)
+    targets = np.arange(nq) if targets is None else np.asarray(targets)
     hits = recall_hits_sharded(
-        jnp.asarray(features_a), queries, targets, int(max(k_vals)), mesh, axis
+        np.asarray(features_a), queries, targets, int(max(k_vals)), mesh, axis
     )
     return [(int(k), float(hits[:, int(k) - 1].mean())) for k in k_vals]
 

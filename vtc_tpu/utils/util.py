@@ -93,12 +93,23 @@ def init_distributed():
     backend caches (BOTH of them) and retry."""
     import os
 
+    triplet = ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES", "JAX_PROCESS_ID")
+    have = {k: os.environ.get(k) for k in triplet}
     kwargs = {}
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+    if any(have.values()):
+        missing = [k for k in triplet if not have[k]]
+        if missing:
+            # a partially-exported topology (the per-worker JAX_PROCESS_ID is
+            # the easiest to miss in a launcher template) must name the
+            # contract, not die with a bare KeyError
+            raise RuntimeError(
+                f"off-pod --multihost needs all three topology env vars "
+                f"{triplet} set together; missing: {missing}"
+            )
         kwargs = dict(
-            coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
-            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
-            process_id=int(os.environ["JAX_PROCESS_ID"]),
+            coordinator_address=have["JAX_COORDINATOR_ADDRESS"],
+            num_processes=int(have["JAX_NUM_PROCESSES"]),
+            process_id=int(have["JAX_PROCESS_ID"]),
         )
     try:
         jax.distributed.initialize(**kwargs)
