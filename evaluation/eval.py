@@ -156,13 +156,13 @@ def main(config: ConfigParser, args, checkpoint_path,
         tails = [
             len(range(p, n_total, pcount)) % bs for p in range(pcount)
         ] if pcount > 1 else [n_total % bs]
-        if any(t == 1 for t in tails):
+        if bs < 2 or any(t == 1 for t in tails):
             raise ValueError(
-                f"--num_irrelevant_comments with batch_size={bs} leaves a "
-                f"1-element tail batch (per-host split sizes "
+                f"--num_irrelevant_comments with batch_size={bs} yields a "
+                f"1-element batch (per-host split sizes "
                 f"{[len(range(p, n_total, pcount)) for p in range(pcount)]}); "
-                f"add_irrelevant_comms needs >= 2 items per batch — pick a "
-                f"batch size without 1-element remainders"
+                f"add_irrelevant_comms needs >= 2 items per batch — use "
+                f"batch_size >= 2 without 1-element remainders"
             )
 
     # mesh-sharded eval (--n_devices/--n_model, like train.py): params laid
@@ -245,17 +245,45 @@ def main(config: ConfigParser, args, checkpoint_path,
         res_text.append(np.asarray(feats_text))
         ids.extend(np.asarray(meta["id"]).tolist())
 
-    res_vis = np.concatenate(res_vis)
-    res_text = np.concatenate(res_text)
+    if res_vis:
+        res_vis = np.concatenate(res_vis)
+        res_text = np.concatenate(res_text)
+    elif pcount == 1:
+        raise RuntimeError(
+            f"eval produced no embeddings: the test split of "
+            f"{len(dataset)} items is empty or smaller than expected"
+        )
+    else:
+        # a host whose strided subset is EMPTY (more hosts than test items)
+        # must still join the gathers below with empty blocks — raising here
+        # while the other hosts proceed would deadlock the pod on the counts
+        # collective (same contract as the transfer-eval path)
+        res_vis = res_text = None
 
     if pcount > 1:
         # merge the per-host embedding blocks (uneven tails allowed); the
         # row permutation vs a single-host run is shared by queries and
         # gallery, so the recall ranks are unchanged
-        from vtc_tpu.evaluation.retrieval_eval import _allgather_varlen
+        from jax.experimental import multihost_utils as mhu
 
-        res_vis = _allgather_varlen(res_vis)
-        res_text = _allgather_varlen(res_text)
+        from vtc_tpu.utils import util as _util
+
+        dim = 0 if res_vis is None else int(res_vis.shape[1])
+        dim = int(np.max(mhu.process_allgather(np.asarray(dim, np.int64))))
+        if dim == 0:
+            raise RuntimeError(
+                f"eval produced no embeddings on ANY of {pcount} processes: "
+                f"the test split is empty (check the data root paths)"
+            )
+        if res_vis is None:
+            res_vis = np.zeros((0, dim), np.float32)
+            res_text = np.zeros((0, dim), np.float32)
+        else:
+            # one dtype on every host (incl. empty-block hosts)
+            res_vis = np.asarray(res_vis, np.float32)
+            res_text = np.asarray(res_text, np.float32)
+        res_vis = _util.allgather_varlen(res_vis)
+        res_text = _util.allgather_varlen(res_text)
 
     recall_title_from_im = recall_at_k(res_vis, res_text, [1, 5, 10])
     recall_im_from_title = recall_at_k(res_text, res_vis, [1, 5, 10])

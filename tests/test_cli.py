@@ -409,6 +409,59 @@ def test_init_distributed_partial_env_names_contract(monkeypatch):
         init_distributed()
 
 
+def test_eval_cli_multihost_empty_host_joins_gather(corpus, monkeypatch,
+                                                    tmp_path):
+    """More hosts than test items: a host with an EMPTY strided subset must
+    contribute empty blocks to the gathers (raising pre-gather would
+    deadlock the pod) and still return the globally-merged metrics."""
+    monkeypatch.chdir(tmp_path)
+    tmp_path2, csv, root = corpus
+    cfg = _config(tmp_path2, csv, root)
+    cfg_path = tmp_path2 / "cfg_eval_empty.jsonc"
+    cfg_path.write_text(json.dumps(cfg))
+
+    import importlib
+
+    import jax.experimental.multihost_utils as mhu_mod
+
+    eval_cli = importlib.import_module("eval")
+    from vtc_tpu.config import ConfigParser
+    from vtc_tpu.utils import read_json
+    from vtc_tpu.utils import util as util_mod
+
+    D = 8
+    fake = np.random.default_rng(0).normal(size=(4, D)).astype(np.float32)
+    # the width gather: the other hosts contribute D, this host 0
+    monkeypatch.setattr(
+        mhu_mod, "process_allgather",
+        lambda x, **k: np.asarray([D], np.int64),
+    )
+    monkeypatch.setattr(
+        util_mod, "allgather_varlen",
+        lambda arr: np.concatenate([np.asarray(arr), fake]),
+    )
+
+    class Args:
+        num_irrelevant_comments = 0
+
+    # the corpus test split has 4 items; rank 4 of 5 gets none of them
+    out = eval_cli.main(ConfigParser(read_json(cfg_path)), Args(), None,
+                        process_index=4, process_count=5)
+    assert set(out) == {
+        "R1_title_from_im", "R5_title_from_im", "R10_title_from_im",
+        "R1_im_from_title", "R5_im_from_title", "R10_im_from_title",
+    }
+
+    # all hosts empty -> the loud failure, raised consistently post-gather
+    monkeypatch.setattr(
+        mhu_mod, "process_allgather",
+        lambda x, **k: np.asarray([0], np.int64),
+    )
+    with pytest.raises(RuntimeError, match="ANY of 5 processes"):
+        eval_cli.main(ConfigParser(read_json(cfg_path)), Args(), None,
+                      process_index=4, process_count=5)
+
+
 def test_eval_cli_irrelevant_comments(corpus):
     tmp_path, csv, root = corpus
     import importlib
@@ -474,9 +527,9 @@ def test_eval_cli_multihost_disjoint_matches_single(corpus, monkeypatch,
     import importlib
 
     eval_cli = importlib.import_module("eval")
-    import vtc_tpu.evaluation.retrieval_eval as re_mod
     from vtc_tpu.config import ConfigParser
     from vtc_tpu.utils import read_json
+    from vtc_tpu.utils import util as util_mod
 
     class Args:
         num_irrelevant_comments = 0
@@ -485,7 +538,7 @@ def test_eval_cli_multihost_disjoint_matches_single(corpus, monkeypatch,
 
     rank1 = []
     monkeypatch.setattr(
-        re_mod, "_allgather_varlen",
+        util_mod, "allgather_varlen",
         lambda arr: (rank1.append(np.asarray(arr)), np.asarray(arr))[1],
     )
     eval_cli.main(ConfigParser(read_json(cfg_path)), Args(), None,
@@ -497,7 +550,7 @@ def test_eval_cli_multihost_disjoint_matches_single(corpus, monkeypatch,
 
     blocks = iter(rank1)
     monkeypatch.setattr(
-        re_mod, "_allgather_varlen",
+        util_mod, "allgather_varlen",
         lambda arr: np.concatenate([np.asarray(arr), next(blocks)]),
     )
     multi = eval_cli.main(ConfigParser(read_json(cfg_path)), Args(), None,

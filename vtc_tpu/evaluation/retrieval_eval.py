@@ -347,21 +347,10 @@ def _flatten_caps(ids, caption_embs):
     return flat_caps, cap_vid
 
 
-def _allgather_varlen(arr: np.ndarray) -> np.ndarray:
-    """Concatenate per-process variable-length (leading-axis) arrays across
-    all processes, in process order. Two tiny collectives: counts, then the
-    max-padded payload (``multihost_utils.process_allgather`` needs equal
-    shapes on every host)."""
-    from jax.experimental import multihost_utils as mhu
-
-    arr = np.asarray(arr)
-    counts = np.asarray(mhu.process_allgather(np.asarray(arr.shape[0], np.int64)))
-    m = int(counts.max())
-    if arr.shape[0] < m:
-        pad = np.zeros((m - arr.shape[0],) + arr.shape[1:], arr.dtype)
-        arr = np.concatenate([arr, pad])
-    gathered = np.asarray(mhu.process_allgather(arr))  # [P, m, ...]
-    return np.concatenate([gathered[p, : int(c)] for p, c in enumerate(counts)])
+# module-level alias (not a bare from-import) so tests can monkeypatch the
+# gather at this module's seam; the implementation is the shared public
+# helper (also used by evaluation/eval.py's multihost merge)
+from ..utils.util import allgather_varlen as _allgather_varlen  # noqa: E402
 
 
 def retrieval_evaluation(
@@ -568,7 +557,9 @@ def retrieval_evaluation(
         )
         outdf = _recall_df(vt_hits, tvr, datasetname, split)
 
-    if out_csv is not None:
+    if out_csv is not None and pidx == 0:
+        # every process computes identical metrics; one writer (concurrent
+        # same-file writes on a shared filesystem can interleave/truncate)
         outdf.to_csv(out_csv)
     return outdf
 

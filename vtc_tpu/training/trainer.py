@@ -637,12 +637,15 @@ class Trainer:
             # downstream. Surfaced by the real 2-process multihost test; say
             # the root cause out loud so an operator fixes the batch size
             # instead of chasing the "Metric not found" symptom.
+            n_items = len(getattr(self.valid_data_loader, "dataset", []))
+            n_hosts = jax.process_count()
             self.logger.warning(
-                "Validation loader yielded ZERO batches (per-host val split "
-                "of %s items < batch_size with drop_last): val metrics are "
-                "empty and monitoring will be disabled. Reduce batch_size "
-                "or grow the validation split.",
-                len(getattr(self.valid_data_loader, "dataset", [])),
+                "Validation loader yielded ZERO batches (val dataset of %s "
+                "items across %s host(s): the PER-HOST split is smaller "
+                "than batch_size, so drop_last discards everything): val "
+                "metrics are empty and monitoring will be disabled. Reduce "
+                "batch_size or grow the validation split.",
+                n_items, n_hosts,
             )
 
         # per-epoch retrieval probe, normal + adapter-skip

@@ -77,6 +77,23 @@ def to_numpy_tree(obj):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), obj)
 
 
+def allgather_varlen(arr: np.ndarray) -> np.ndarray:
+    """Concatenate per-process variable-length (leading-axis) arrays across
+    all processes, in process order. Two tiny collectives: counts, then the
+    max-padded payload (``multihost_utils.process_allgather`` needs equal
+    shapes on every host). Single-process: identity."""
+    from jax.experimental import multihost_utils as mhu
+
+    arr = np.asarray(arr)
+    counts = np.asarray(mhu.process_allgather(np.asarray(arr.shape[0], np.int64)))
+    m = int(counts.max())
+    if arr.shape[0] < m:
+        pad = np.zeros((m - arr.shape[0],) + arr.shape[1:], arr.dtype)
+        arr = np.concatenate([arr, pad])
+    gathered = np.asarray(mhu.process_allgather(arr))  # [P, m, ...]
+    return np.concatenate([gathered[p, : int(c)] for p, c in enumerate(counts)])
+
+
 def init_distributed():
     """Initialize the JAX distributed runtime for a multi-controller pod run
     (``train.py --multihost`` / ``evaluation/eval.py --multihost``). Must run
