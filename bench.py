@@ -259,6 +259,18 @@ def main():
 
     _probe_tpu()
 
+    # train probe FIRST (round-5 receipt: run last — after several
+    # compile-heavy subprocesses in the same bench session — it reads ~5%
+    # low vs an identical fresh run, the known late-subprocess degradation;
+    # first, it matches the standalone number). The eval headline runs in
+    # the main process either way.
+    train_sps = None
+    if model_type == "ViT-B/32" and os.environ.get("BENCH_SKIP_TRAIN") != "1":
+        try:
+            train_sps = _measure_train()
+        except Exception as e:
+            print(f"warning: train probe unavailable ({e})", file=sys.stderr)
+
     ns = {}
     exec(BENCH_CODE, ns)
     tpu_pps = ns["run"](
@@ -311,16 +323,12 @@ def main():
     # at 16-token EOT buckets + CAM; PERFORMANCE.md) over the v5e bf16 peak
     result["mfu"] = round(tpu_pps * 16.0e9 / 197e12, 3)
 
-    # train probe (round-5 item 6): the finetune step in the same artifact so
-    # BOTH hot paths are regression-gated. Train MFU = samples/s x 3 x
-    # 16.0 GFLOP (fwd + ~2x bwd) / 197 TFLOP/s (PERFORMANCE.md formula).
-    if os.environ.get("BENCH_SKIP_TRAIN") != "1":
-        try:
-            train_sps = _measure_train()
-            result["train_samples_per_sec"] = round(train_sps, 2)
-            result["train_mfu"] = round(train_sps * 3 * 16.0e9 / 197e12, 3)
-        except Exception as e:
-            print(f"warning: train probe unavailable ({e})", file=sys.stderr)
+    # train probe (round-5 item 6, measured up top): the finetune step in the
+    # same artifact so BOTH hot paths are regression-gated. Train MFU =
+    # samples/s x 3 x 16.0 GFLOP (fwd + ~2x bwd) / 197 TFLOP/s.
+    if train_sps is not None:
+        result["train_samples_per_sec"] = round(train_sps, 2)
+        result["train_mfu"] = round(train_sps * 3 * 16.0e9 / 197e12, 3)
     print(json.dumps(result))
 
 

@@ -381,7 +381,7 @@ def test_eval_cli_irrelevant_probe_fails_fast_on_one_element_tail(
     class Args:
         num_irrelevant_comments = 2
 
-    with pytest.raises(ValueError, match="1-element tail"):
+    with pytest.raises(ValueError, match="1-element batch"):
         eval_cli.main(ConfigParser(read_json(cfg_path)), Args(), None)
 
     # multihost: 4 items over 3 hosts = 2 + 1 + 1; hosts 1 and 2 have
@@ -390,7 +390,7 @@ def test_eval_cli_irrelevant_probe_fails_fast_on_one_element_tail(
     cfg["batch_size"] = 2
     cfg_path.write_text(json.dumps(cfg))
     for pidx in (0, 1, 2):
-        with pytest.raises(ValueError, match="1-element tail"):
+        with pytest.raises(ValueError, match="1-element batch"):
             eval_cli.main(
                 ConfigParser(read_json(cfg_path)), Args(), None,
                 process_index=pidx, process_count=3,
